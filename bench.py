@@ -1,0 +1,138 @@
+"""Headline benchmark: RAVDESS training clips/sec/chip (fwd+bwd+update,
+preprocessing on-device).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "clips/s/chip", "vs_baseline": N}
+
+``value`` is the TPU-native fast path (fused log-mel frontend -> LSTM +
+frame encoders -> concat head, the BASELINE.json north-star pipeline).
+``vs_baseline`` compares against the *reference architecture on the same
+chip*: the raw-48,000-sample-waveform LSTM exactly as the reference trains
+it (/root/reference/src/encoders.py:54-63 + train.py:121-164).  The
+reference repo records no throughput of its own (BASELINE.md), so its
+architecture under identical conditions is the honest baseline; the
+BASELINE.json target ("epoch time <= 25% of reference per chip") maps to
+vs_baseline >= 4.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _build(frontend: bool, batch: int, n_rows: int, seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_emotion_detection_tpu.config import Config, apply_overrides
+    from multimodal_emotion_detection_tpu.models.classifier import (
+        classifier_from_config,
+    )
+    from multimodal_emotion_detection_tpu.training.optim import build_optimizer
+    from multimodal_emotion_detection_tpu.training.steps import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = Config()
+    apply_overrides(cfg, [
+        f"dataset.batch_size={batch}",
+        "model.encoders.audio.hidden_dim=256",
+        "model.encoders.video.input_dim=4096",
+    ])
+    if frontend:
+        cfg.model.frontend.audio = "logmel"
+    model = classifier_from_config(cfg)
+
+    rng = np.random.RandomState(seed)
+    features = {
+        "audio": jnp.asarray(rng.randn(n_rows, 48000, 1), jnp.float32),
+        "video": jnp.asarray(
+            rng.rand(n_rows, 24, 4096).astype(np.float32)
+        ),
+    }
+    labels = jnp.asarray(rng.randint(0, 8, n_rows), jnp.int32)
+
+    tx, _ = build_optimizer(cfg.training, steps_per_epoch=36)
+    sample = {m: a[:batch] for m, a in features.items()}
+    state = create_train_state(
+        model, tx, sample, jnp.ones((batch, 2), jnp.float32),
+        jax.random.PRNGKey(0),
+    )
+    step = make_train_step(
+        model, tx, num_modalities=2, modality_dropout=0.1,
+        has_batch_stats=bool(state.model_state),
+    )
+    return state, step, features, labels
+
+
+def _time_steps(state, step, features, labels, batch, n_rows, warmup, iters):
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    idx_pool = [
+        jnp.asarray(
+            (np.arange(batch) + i * batch) % n_rows, dtype=jnp.int32
+        )
+        for i in range(warmup + iters)
+    ]
+    valid = jnp.ones((batch,), jnp.float32)
+    for i in range(warmup):
+        state, metrics = step(state, features, labels, idx_pool[i], valid, key)
+    # sync via a VALUE FETCH, not block_until_ready: on the tunneled axon
+    # backend block_until_ready can return before execution finishes, which
+    # makes dispatch-only timings look absurdly fast
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(warmup, warmup + iters):
+        state, metrics = step(state, features, labels, idx_pool[i], valid, key)
+    last_loss = float(metrics["loss"])  # chained through state -> full sync
+    dt = time.perf_counter() - t0
+    assert last_loss == last_loss, "NaN loss in benchmark"
+    return batch * iters / dt, state
+
+
+def main():
+    from multimodal_emotion_detection_tpu.utils.runtime import setup_jax
+
+    setup_jax()
+    import jax
+
+    batch = 32  # reference training batch (configs/base.yaml:16)
+    n_rows = 256
+    platform = jax.default_backend()
+
+    state, step, features, labels = _build(
+        frontend=True, batch=batch, n_rows=n_rows
+    )
+    fast_cps, _ = _time_steps(
+        state, step, features, labels, batch, n_rows, warmup=3, iters=30
+    )
+    del state, step
+
+    base_state, base_step, features, labels = _build(
+        frontend=False, batch=batch, n_rows=n_rows
+    )
+    base_cps, _ = _time_steps(
+        base_state, base_step, features, labels, batch, n_rows,
+        warmup=2, iters=6,
+    )
+
+    result = {
+        "metric": "ravdess_train_clips_per_sec_per_chip",
+        "value": round(fast_cps, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(fast_cps / base_cps, 2),
+        "baseline_raw_waveform_clips_per_sec": round(base_cps, 2),
+        "platform": platform,
+        "batch_size": batch,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,189 @@
+"""The end-to-end multimodal classifier: frontend -> encoders -> fusion.
+
+This is the jit'd "single XLA graph" of BASELINE.json's north star: audio
+frontend (optional fused Pallas log-mel), per-modality encoders, fusion,
+and the classification head compile as one function of
+``(params, features, mask, rng)``.
+
+Faithful to the reference LightningModule's semantics
+(/root/reference/src/train.py:34-164) including its two documented quirks,
+both config-switchable:
+
+* ``train_fusion='concat'`` (default) reproduces the *active* reference
+  path: concat encoder outputs in config modality order -> Dense(hidden) ->
+  ReLU -> Dense(C) (ref train.py:81-85,149-164), bypassing the fusion
+  library.  ``'library'`` routes through ``build_fusion_model`` instead
+  (the commented-out intent at ref train.py:68-76).
+* ``use_modality_mask=False`` (default) ignores the availability mask like
+  the reference forward does (ref train.py:121-164 never reads ``mask``),
+  preserving the bitwise-reproducibility invariant of SURVEY.md §6;
+  ``True`` zero-masks features and feeds the mask to fusion.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_emotion_detection_tpu.models.encoders import build_encoder
+from multimodal_emotion_detection_tpu.models.fusion import build_fusion_model
+from multimodal_emotion_detection_tpu.ops.logmel import (
+    LogMelParams,
+    log_mel_spectrogram,
+)
+
+
+class MultimodalClassifier(nn.Module):
+    modalities: Tuple[str, ...]
+    encoder_configs: Dict[str, Dict[str, Any]]
+    num_classes: int = 8
+    output_dim: int = 128
+    hidden_dim: int = 256
+    num_heads: int = 4
+    dropout: float = 0.3
+    fusion_type: str = "early"
+    train_fusion: str = "concat"  # 'concat' | 'library'
+    use_modality_mask: bool = False
+    audio_frontend: Optional[LogMelParams] = None  # None -> raw waveform
+    frontend_use_pallas: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        encoders = {}
+        for modality in self.modalities:
+            cfg = dict(self.encoder_configs.get(modality, {}))
+            if modality == "audio" and self.audio_frontend is not None:
+                # frontend output is (B, F, n_mels): override encoder input
+                cfg["input_dim"] = self.audio_frontend.n_mels
+            encoders[modality] = build_encoder(
+                modality=modality,
+                input_dim=cfg.get("input_dim", 64),
+                output_dim=self.output_dim,
+                encoder_config=cfg,
+                dtype=self.dtype,
+            )
+        self.encoders = encoders
+
+        if self.train_fusion == "library":
+            self.fusion = build_fusion_model(
+                fusion_type=self.fusion_type,
+                modality_dims={m: self.output_dim for m in self.modalities},
+                num_classes=self.num_classes,
+                hidden_dim=self.hidden_dim,
+                num_heads=self.num_heads,
+                dropout=self.dropout,
+                dtype=self.dtype,
+            )
+        else:
+            self.head_in = nn.Dense(self.hidden_dim, dtype=self.dtype)
+            self.head_out = nn.Dense(self.num_classes, dtype=self.dtype)
+
+    def _apply_frontend(
+        self, modality: str, features: jnp.ndarray
+    ) -> jnp.ndarray:
+        if modality == "audio" and self.audio_frontend is not None:
+            return log_mel_spectrogram(
+                features,
+                self.audio_frontend,
+                use_pallas=self.frontend_use_pallas,
+            )
+        return features
+
+    def encode(
+        self,
+        features: Dict[str, jnp.ndarray],
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        bn_eval: Optional[bool] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Per-modality embeddings (B, output_dim)."""
+        encoded = {}
+        for i, modality in enumerate(self.modalities):
+            if modality not in features:
+                continue
+            x = self._apply_frontend(modality, features[modality])
+            if self.use_modality_mask and mask is not None:
+                m = mask[:, i].reshape((-1,) + (1,) * (x.ndim - 1))
+                x = x * m.astype(x.dtype)
+            encoded[modality] = self.encoders[modality](
+                x, deterministic=deterministic, bn_eval=bn_eval
+            )
+        return encoded
+
+    def __call__(
+        self,
+        features: Dict[str, jnp.ndarray],
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        return_aux: bool = False,
+        bn_eval: Optional[bool] = None,
+    ):
+        encoded = self.encode(features, mask, deterministic, bn_eval=bn_eval)
+
+        if self.train_fusion == "library":
+            fusion_mask = mask if self.use_modality_mask else None
+            output = self.fusion(
+                encoded, fusion_mask, deterministic=deterministic
+            )
+            aux: Dict[str, Any] = {}
+            if isinstance(output, tuple):
+                logits, fusion_aux = output[0], output[1]
+                aux = (
+                    fusion_aux
+                    if isinstance(fusion_aux, dict)
+                    else {"per_modality_logits": fusion_aux}
+                )
+            else:
+                logits = output
+        else:
+            ordered = [
+                encoded[m] for m in self.modalities if m in encoded
+            ]
+            if not ordered:
+                raise ValueError("No modalities were encoded")
+            fused = jnp.concatenate(ordered, axis=-1)
+            h = nn.relu(self.head_in(fused))
+            logits = self.head_out(h)
+            aux = {}
+
+        if return_aux:
+            aux["encoded"] = encoded
+            return logits, aux
+        return logits
+
+
+def classifier_from_config(config) -> MultimodalClassifier:
+    """Build the flagship model from a ``Config`` (see config.py)."""
+    fe = config.model.frontend
+    frontend = None
+    if fe.audio == "logmel":
+        frontend = LogMelParams(
+            sample_rate=fe.sample_rate,
+            n_fft=fe.n_fft,
+            hop_length=fe.hop_length,
+            win_length=fe.win_length,
+            n_mels=fe.n_mels,
+            fmin=fe.fmin,
+            fmax=fe.fmax,
+            log_epsilon=fe.log_epsilon,
+        )
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        config.runtime.compute_dtype
+    ]
+    return MultimodalClassifier(
+        modalities=tuple(config.dataset.modalities),
+        encoder_configs=dict(config.model.encoders),
+        num_classes=config.dataset.num_classes,
+        output_dim=config.model.output_dim,
+        hidden_dim=config.model.hidden_dim,
+        num_heads=config.model.num_heads,
+        dropout=config.model.dropout,
+        fusion_type=config.model.fusion_type,
+        train_fusion=config.model.train_fusion,
+        use_modality_mask=config.model.use_modality_mask,
+        audio_frontend=frontend,
+        frontend_use_pallas=fe.use_pallas,
+        dtype=dtype,
+    )

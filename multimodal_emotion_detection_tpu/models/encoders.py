@@ -1,0 +1,422 @@
+"""Per-modality encoders (flax.linen), capability parity with
+/root/reference/src/encoders.py, re-designed as pure functional modules.
+
+Inventory (reference file:line in each class docstring):
+* SequenceEncoder — lstm / gru / cnn / transformer variants
+* FrameEncoder — per-frame MLP + attention/average/max temporal pooling
+* SimpleMLPEncoder — [Dense->BN->ReLU->Dropout]*n -> Dense, rank-3 mean-pool
+* ImageCNNEncoder — ResNet-18/34-style backbone for (B,H,W,C)/(B,T,H,W,C)
+  (the reference's PretrainedCNNEncoder slot; weights random by default
+  since there is no network egress — a torchvision state_dict can be
+  imported via models.resnet.load_torch_resnet_weights)
+* build_encoder — factory with the same config keys + modality heuristics
+
+Every module takes ``deterministic`` for dropout (so MC-dropout is a vmap
+over rng keys) and a ``dtype`` for bf16 compute with fp32 params.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_emotion_detection_tpu.models.recurrent import StackedRNN
+from multimodal_emotion_detection_tpu.models.resnet import ResNet
+
+
+def masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray], axis: int = 1):
+    """Mean over ``axis`` honouring an optional (B, T) validity mask."""
+    if mask is None:
+        return x.mean(axis=axis)
+    m = mask.astype(x.dtype)[..., None]
+    summed = (x * m).sum(axis=axis)
+    denom = jnp.clip(m.sum(axis=axis), min=1.0)
+    return summed / denom
+
+
+def masked_max(x: jnp.ndarray, mask: Optional[jnp.ndarray], axis: int = 1):
+    if mask is None:
+        return x.max(axis=axis)
+    very_neg = jnp.finfo(x.dtype).min
+    m = mask.astype(bool)[..., None]
+    return jnp.where(m, x, very_neg).max(axis=axis)
+
+
+class AttentionPool(nn.Module):
+    """Learned scalar score per frame -> softmax -> weighted sum.
+
+    Reference: FrameEncoder.attention_pool
+    (/root/reference/src/encoders.py:300-327).
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, frames: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        scores = nn.Dense(1, dtype=self.dtype, name="attention")(frames)[..., 0]
+        if mask is not None:
+            scores = jnp.where(mask.astype(bool), scores, -1e9)
+        weights = jax.nn.softmax(scores, axis=1)  # (B, T)
+        return jnp.einsum("bt,bth->bh", weights, frames)
+
+
+class TransformerBlock(nn.Module):
+    """Post-LN encoder layer (torch nn.TransformerEncoderLayer semantics:
+    x = LN(x + MHA(x)); x = LN(x + GELU-FFN(x))), ref encoders.py:96-113."""
+
+    hidden_dim: int
+    num_heads: int = 4
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        key_padding_mask: Optional[jnp.ndarray] = None,  # (B, T) True=valid
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        attn_mask = None
+        if key_padding_mask is not None:
+            # (B, 1, 1, T): broadcast over heads and query positions
+            attn_mask = key_padding_mask[:, None, None, :].astype(bool)
+        attn_out = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.hidden_dim,
+            dropout_rate=self.dropout,
+            deterministic=deterministic,
+            dtype=self.dtype,
+            name="self_attn",
+        )(x, x, mask=attn_mask)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x + attn_out)
+        h = nn.Dense(self.hidden_dim * 4, dtype=self.dtype, name="ffn_in")(x)
+        h = nn.gelu(h)
+        h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="ffn_out")(h)
+        return nn.LayerNorm(dtype=self.dtype, name="ln2")(x + h)
+
+
+class SequenceEncoder(nn.Module):
+    """Time-series -> fixed embedding; 4 variants, ref encoders.py:15-192.
+
+    * lstm/gru: StackedRNN (scan) -> last hidden -> Dense projection
+    * cnn: Conv(k5)->BN->ReLU->Drop->Conv(k3)->BN->ReLU->global-avg-pool
+      ->Drop->Dense (ref :79-94,157-168)
+    * transformer: Dense in-proj + learned pos-emb (max_len 4096) -> N
+      post-LN blocks -> masked mean-pool -> Dense (ref :96-113,170-192)
+    """
+
+    input_dim: int
+    hidden_dim: int = 256
+    output_dim: int = 128
+    num_layers: int = 2
+    encoder_type: str = "lstm"
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+    scan_unroll: int = 2
+    max_len: int = 4096
+
+    @nn.compact
+    def __call__(
+        self,
+        sequence: jnp.ndarray,
+        lengths: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        bn_eval: Optional[bool] = None,
+    ) -> jnp.ndarray:
+        # bn_eval decouples BatchNorm stats mode from dropout so MC-dropout
+        # can keep BN in eval while sampling dropout (ref uncertainty.py:37-46)
+        bn_ra = deterministic if bn_eval is None else bn_eval
+        x = sequence.astype(self.dtype)
+        if self.encoder_type in ("lstm", "gru"):
+            # Variable lengths: the torch path packs sequences; here we scan
+            # the full padded length and gather the hidden state at t=len-1
+            # per row (same result, static shapes).
+            outputs, h_last = StackedRNN(
+                hidden_dim=self.hidden_dim,
+                num_layers=self.num_layers,
+                cell_type=self.encoder_type,
+                dropout=self.dropout if self.num_layers > 1 else 0.0,
+                dtype=self.dtype,
+                unroll=self.scan_unroll,
+                name="rnn",
+            )(x, deterministic=deterministic)
+            if lengths is not None:
+                idx = jnp.clip(lengths.astype(jnp.int32) - 1, 0, x.shape[1] - 1)
+                h_last = jnp.take_along_axis(
+                    outputs, idx[:, None, None], axis=1
+                )[:, 0, :]
+            return nn.Dense(self.output_dim, dtype=self.dtype, name="projection")(
+                h_last
+            )
+
+        if self.encoder_type == "cnn":
+            h = nn.Conv(self.hidden_dim, kernel_size=(5,), padding="SAME",
+                        dtype=self.dtype, name="conv1")(x)
+            h = nn.BatchNorm(use_running_average=bn_ra, dtype=self.dtype,
+                             name="bn1")(h)
+            h = nn.relu(h)
+            h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+            h = nn.Conv(self.hidden_dim, kernel_size=(3,), padding="SAME",
+                        dtype=self.dtype, name="conv2")(h)
+            h = nn.BatchNorm(use_running_average=bn_ra, dtype=self.dtype,
+                             name="bn2")(h)
+            h = nn.relu(h)
+            h = h.mean(axis=1)  # AdaptiveAvgPool1d(1)
+            h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+            return nn.Dense(self.output_dim, dtype=self.dtype, name="projection")(h)
+
+        if self.encoder_type == "transformer":
+            seq_len = x.shape[1]
+            h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="input_proj")(x)
+            positions = jnp.clip(jnp.arange(seq_len), 0, self.max_len - 1)
+            pos_emb = nn.Embed(self.max_len, self.hidden_dim, dtype=self.dtype,
+                               name="pos_embedding")(positions)
+            h = h + pos_emb[None, :, :]
+            valid = None
+            if lengths is not None:
+                valid = (
+                    jnp.arange(seq_len)[None, :] < lengths[:, None]
+                )  # (B, T) True=valid
+            for i in range(self.num_layers):
+                h = TransformerBlock(
+                    hidden_dim=self.hidden_dim,
+                    num_heads=4,
+                    dropout=self.dropout,
+                    dtype=self.dtype,
+                    name=f"block_{i}",
+                )(h, key_padding_mask=valid, deterministic=deterministic)
+            pooled = masked_mean(h, valid, axis=1)
+            return nn.Dense(self.output_dim, dtype=self.dtype, name="projection")(
+                pooled
+            )
+
+        raise ValueError(f"Unknown encoder type: {self.encoder_type}")
+
+
+class FrameEncoder(nn.Module):
+    """Per-frame MLP + temporal pooling, ref encoders.py:196-327."""
+
+    frame_dim: int
+    hidden_dim: int = 256
+    output_dim: int = 128
+    temporal_pooling: str = "attention"  # 'attention' | 'average' | 'max'
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        frames: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        bn_eval: Optional[bool] = None,  # no BN here; uniform interface
+    ) -> jnp.ndarray:
+        del bn_eval
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="frame_mlp")(
+            frames.astype(self.dtype)
+        )
+        x = nn.relu(x)
+        x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
+
+        if self.temporal_pooling == "attention":
+            pooled = AttentionPool(dtype=self.dtype, name="pool")(x, mask)
+        elif self.temporal_pooling == "average":
+            pooled = masked_mean(x, mask, axis=1)
+        elif self.temporal_pooling == "max":
+            pooled = masked_max(x, mask, axis=1)
+        else:
+            raise ValueError(f"Unknown pooling: {self.temporal_pooling}")
+
+        pooled = nn.Dropout(rate=self.dropout)(pooled, deterministic=deterministic)
+        pooled = nn.LayerNorm(dtype=self.dtype, name="proj_ln")(pooled)
+        return nn.Dense(self.output_dim, dtype=self.dtype, name="projection")(pooled)
+
+
+class SimpleMLPEncoder(nn.Module):
+    """[Dense->BN->ReLU->Dropout]*n -> Dense, ref encoders.py:330-396.
+
+    Rank-3 inputs are encoded per timestep then mean-pooled over time
+    (ref :390-395) — here as one batched matmul instead of a reshape loop.
+    """
+
+    input_dim: int
+    hidden_dim: int = 256
+    output_dim: int = 128
+    num_layers: int = 2
+    dropout: float = 0.1
+    batch_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        features: jnp.ndarray,
+        deterministic: bool = True,
+        bn_eval: Optional[bool] = None,
+    ) -> jnp.ndarray:
+        bn_ra = deterministic if bn_eval is None else bn_eval
+        x = features.astype(self.dtype)
+        temporal = x.ndim == 3
+        for i in range(self.num_layers):
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"dense_{i}")(x)
+            if self.batch_norm:
+                x = nn.BatchNorm(
+                    use_running_average=bn_ra,
+                    dtype=self.dtype,
+                    axis=-1,
+                    name=f"bn_{i}",
+                )(x)
+            x = nn.relu(x)
+            x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.output_dim, dtype=self.dtype, name="out")(x)
+        if temporal:
+            x = x.mean(axis=1)
+        return x
+
+
+class ImageCNNEncoder(nn.Module):
+    """ResNet-backbone image/frame-sequence encoder.
+
+    Capability slot of the reference's PretrainedCNNEncoder
+    (/root/reference/src/encoders.py:400-529): accepts (B, H, W, C) or
+    (B, T, H, W, C), temporal pooling 'average'/'max'/'attention', then
+    Dropout -> LayerNorm -> Dense projection.
+    """
+
+    backbone: str = "resnet18"
+    output_dim: int = 128
+    temporal_pooling: str = "average"
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        frames: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        bn_eval: Optional[bool] = None,
+    ) -> jnp.ndarray:
+        bn_ra = deterministic if bn_eval is None else bn_eval
+        net = ResNet(variant=self.backbone, dtype=self.dtype, name="backbone")
+        if frames.ndim == 4:
+            feats = net(frames.astype(self.dtype), deterministic=deterministic,
+                        bn_eval=bn_ra)
+            feats = nn.Dropout(rate=self.dropout)(feats, deterministic=deterministic)
+            feats = nn.LayerNorm(dtype=self.dtype, name="proj_ln")(feats)
+            return nn.Dense(self.output_dim, dtype=self.dtype, name="projection")(
+                feats
+            )
+        if frames.ndim == 5:
+            b, t = frames.shape[:2]
+            flat = frames.reshape((b * t,) + frames.shape[2:]).astype(self.dtype)
+            feats = net(flat, deterministic=deterministic,
+                        bn_eval=bn_ra).reshape(b, t, -1)
+            if self.temporal_pooling == "attention":
+                pooled = AttentionPool(dtype=self.dtype, name="pool")(feats, mask)
+            elif self.temporal_pooling == "average":
+                pooled = masked_mean(feats, mask, axis=1)
+            elif self.temporal_pooling == "max":
+                pooled = masked_max(feats, mask, axis=1)
+            else:
+                raise ValueError(f"Unknown pooling: {self.temporal_pooling}")
+            pooled = nn.Dropout(rate=self.dropout)(
+                pooled, deterministic=deterministic
+            )
+            pooled = nn.LayerNorm(dtype=self.dtype, name="proj_ln")(pooled)
+            return nn.Dense(self.output_dim, dtype=self.dtype, name="projection")(
+                pooled
+            )
+        raise ValueError(f"Expected rank-4/5 frames, got shape {frames.shape}")
+
+
+# ---------------------------------------------------------------------------
+# Factory
+# ---------------------------------------------------------------------------
+
+_SEQUENCE_MODALITIES = {
+    "imu", "mocap", "audio", "accelerometer", "gyro", "magnetometer",
+    "imu_hand", "imu_chest", "imu_ankle",
+}
+
+
+def build_encoder(
+    modality: str,
+    input_dim: int,
+    output_dim: int,
+    encoder_config: Optional[Dict[str, Any]] = None,
+    dtype: jnp.dtype = jnp.float32,
+) -> nn.Module:
+    """Route a per-modality config dict to an encoder module.
+
+    Mirrors the key handling + modality-name heuristics of
+    /root/reference/src/encoders.py:532-636 ('video'/'frames' -> frame,
+    audio/imu/... -> sequence, else mlp) with the same default fallbacks
+    (hidden_dim defaults to 2*output_dim for frame/sequence, max(output_dim,
+    64) for mlp).
+    """
+    cfg = dict(encoder_config or {})
+    enc_type = cfg.pop("type", None)
+    in_dim = cfg.pop("input_dim", input_dim)
+
+    if enc_type is None:
+        mod = modality.lower()
+        if mod in {"video", "frames"}:
+            enc_type = "frame"
+        elif mod in _SEQUENCE_MODALITIES:
+            enc_type = "sequence"
+        else:
+            enc_type = "mlp"
+
+    if enc_type == "frame":
+        hidden = cfg.pop("hidden_dim", None)
+        return FrameEncoder(
+            frame_dim=in_dim,
+            hidden_dim=hidden if hidden is not None else output_dim * 2,
+            output_dim=output_dim,
+            temporal_pooling=cfg.pop("temporal_pooling", "attention"),
+            dropout=cfg.pop("dropout", 0.1),
+            dtype=dtype,
+            name=f"{modality}_encoder",
+        )
+    if enc_type == "sequence":
+        hidden = cfg.pop("hidden_dim", None)
+        return SequenceEncoder(
+            input_dim=in_dim,
+            hidden_dim=hidden if hidden is not None else output_dim * 2,
+            output_dim=output_dim,
+            num_layers=cfg.pop("num_layers", 2),
+            encoder_type=cfg.pop("encoder_type", "lstm"),
+            dropout=cfg.pop("dropout", 0.1),
+            scan_unroll=cfg.pop("scan_unroll", 2),
+            dtype=dtype,
+            name=f"{modality}_encoder",
+        )
+    if enc_type == "mlp":
+        hidden = cfg.pop("hidden_dim", None)
+        return SimpleMLPEncoder(
+            input_dim=in_dim,
+            hidden_dim=hidden if hidden is not None else max(output_dim, 64),
+            output_dim=output_dim,
+            num_layers=cfg.pop("num_layers", 2),
+            dropout=cfg.pop("dropout", 0.1),
+            batch_norm=cfg.pop("batch_norm", True),
+            dtype=dtype,
+            name=f"{modality}_encoder",
+        )
+    if enc_type == "pretrained_cnn":
+        return ImageCNNEncoder(
+            backbone=cfg.pop("backbone", "resnet18"),
+            output_dim=output_dim,
+            temporal_pooling=cfg.pop("temporal_pooling", "average"),
+            dropout=cfg.pop("dropout", 0.1),
+            dtype=dtype,
+            name=f"{modality}_encoder",
+        )
+    raise ValueError(f"Unknown encoder type '{enc_type}' for modality '{modality}'")

@@ -1,0 +1,225 @@
+"""Stacked LSTM/GRU as `lax.scan` with hoisted input projections and
+chunked rematerialization for long sequences.
+
+TPU re-design of the reference's cuDNN recurrences
+(/root/reference/src/encoders.py:54-77,137-155).  The torch module calls
+``nn.LSTM`` and lets cuDNN fuse the time loop; on TPU the idiomatic shape
+is:
+
+1. Hoist the input projection out of the recurrence: ``x @ W_ih`` for a
+   whole (chunk of) timesteps is one big matmul that tiles onto the MXU.
+2. ``lax.scan`` carries only the ``h @ W_hh`` part — a small ``(B, H) x
+   (H, 4H)`` matmul per step — with a configurable unroll factor.
+3. **Long sequences** (the reference's raw 48,000-sample waveform): a
+   naive scan's backward stores every step's carry plus the full hoisted
+   projection — measured 40.3 GB HBM for (B=32, T=48k, H=256), 2.5x the
+   chip.  Instead the time axis is split into chunks; each chunk hoists
+   its own input projection and is wrapped in ``jax.checkpoint``, so the
+   backward stores only chunk-boundary carries (~MBs) and recomputes
+   inside the chunk — the classic sqrt-T memory/compute trade.
+4. Multi-layer stacking with inter-layer dropout (torch semantics:
+   dropout on every layer's output except the last, only when
+   num_layers > 1).
+
+Gate math matches torch exactly (gate order i, f, g, o for LSTM; r, z, n
+for GRU with the reset gate applied *inside* the candidate's hidden term),
+and parameters use torch's U(-1/sqrt(H), 1/sqrt(H)) init so training
+dynamics are comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# sequences longer than this scan in remat'd chunks of _CHUNK steps
+_HOIST_LIMIT = 2048
+_CHUNK = 512
+
+
+def _uniform_init(scale: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-scale, maxval=scale)
+
+    return init
+
+
+def _lstm_cell(carry, gates):
+    h, c = carry
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def _scan_rnn(
+    x: jnp.ndarray,  # (B, T, D)
+    init_carry,
+    step_from_proj,  # (carry, proj_t, t) -> (carry, y_t)
+    project,  # (chunk_x (S, B, D)) -> per-step projections (S, B, *)
+    unroll: int,
+    chunk_size: int,
+):
+    """Shared scan driver: full-hoist for short T, chunked remat for long.
+
+    Padding steps (t >= T) pass the carry through unchanged, so arbitrary
+    T works with static chunk shapes.
+    """
+    batch, t_len, _ = x.shape
+    x_tm = jnp.swapaxes(x, 0, 1)  # (T, B, D) time-major
+
+    if t_len <= max(chunk_size, _HOIST_LIMIT) or chunk_size <= 0:
+        proj = project(x_tm)  # (T, B, *)
+        t_idx = jnp.arange(t_len)
+
+        def step(carry, inp):
+            proj_t, t = inp
+            return step_from_proj(carry, proj_t, t)
+
+        carry, ys = jax.lax.scan(step, init_carry, (proj, t_idx),
+                                 unroll=unroll)
+        return carry, jnp.swapaxes(ys, 0, 1)
+
+    num_chunks = -(-t_len // chunk_size)
+    t_pad = num_chunks * chunk_size
+    if t_pad > t_len:
+        x_tm = jnp.pad(x_tm, ((0, t_pad - t_len), (0, 0), (0, 0)))
+    x_chunks = x_tm.reshape(num_chunks, chunk_size, batch, x.shape[-1])
+    t_chunks = jnp.arange(t_pad).reshape(num_chunks, chunk_size)
+
+    @jax.checkpoint
+    def chunk_step(carry, inp):
+        x_c, t_c = inp
+        proj = project(x_c)  # hoisted matmul for this chunk (MXU)
+
+        def step(carry, s):
+            proj_t, t = s
+            return step_from_proj(carry, proj_t, t)
+
+        carry, ys = jax.lax.scan(step, carry, (proj, t_c), unroll=unroll)
+        return carry, ys
+
+    carry, ys = jax.lax.scan(chunk_step, init_carry, (x_chunks, t_chunks))
+    ys = ys.reshape(t_pad, batch, -1)[:t_len]
+    return carry, jnp.swapaxes(ys, 0, 1)
+
+
+class LSTMLayer(nn.Module):
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
+    unroll: int = 2
+    chunk_size: int = _CHUNK
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x: (B, T, D) -> (outputs (B, T, H), final hidden (B, H))."""
+        batch, t_len, in_dim = x.shape
+        h_dim = self.hidden_dim
+        k = 1.0 / jnp.sqrt(h_dim)
+        w_ih = self.param("w_ih", _uniform_init(k), (in_dim, 4 * h_dim))
+        w_hh = self.param("w_hh", _uniform_init(k), (h_dim, 4 * h_dim))
+        b = self.param("b", _uniform_init(k), (4 * h_dim,))
+
+        dtype = self.dtype
+        x = x.astype(dtype)
+        w_ih_c, w_hh_c, b_c = (
+            w_ih.astype(dtype), w_hh.astype(dtype), b.astype(dtype)
+        )
+
+        def project(x_c):  # (S, B, D) -> (S, B, 4H)
+            return x_c @ w_ih_c + b_c
+
+        def step_from_proj(carry, ih_t, t):
+            h, c = carry
+            h_new, c_new = _lstm_cell((h, c), ih_t + h @ w_hh_c)
+            valid = t < t_len
+            h_new = jnp.where(valid, h_new, h)
+            c_new = jnp.where(valid, c_new, c)
+            return (h_new, c_new), h_new
+
+        init = (
+            jnp.zeros((batch, h_dim), dtype),
+            jnp.zeros((batch, h_dim), dtype),
+        )
+        (h_final, _), ys = _scan_rnn(
+            x, init, step_from_proj, project, self.unroll, self.chunk_size
+        )
+        return ys, h_final
+
+
+class GRULayer(nn.Module):
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
+    unroll: int = 2
+    chunk_size: int = _CHUNK
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        batch, t_len, in_dim = x.shape
+        h_dim = self.hidden_dim
+        k = 1.0 / jnp.sqrt(h_dim)
+        w_ih = self.param("w_ih", _uniform_init(k), (in_dim, 3 * h_dim))
+        w_hh = self.param("w_hh", _uniform_init(k), (h_dim, 3 * h_dim))
+        b_ih = self.param("b_ih", _uniform_init(k), (3 * h_dim,))
+        b_hh = self.param("b_hh", _uniform_init(k), (3 * h_dim,))
+
+        dtype = self.dtype
+        x = x.astype(dtype)
+        w_ih_c, w_hh_c = w_ih.astype(dtype), w_hh.astype(dtype)
+        b_ih_c, b_hh_c = b_ih.astype(dtype), b_hh.astype(dtype)
+
+        def project(x_c):  # (S, B, D) -> (S, B, 3H)
+            return x_c @ w_ih_c + b_ih_c
+
+        def step_from_proj(carry, ih_t, t):
+            h = carry
+            hh = h @ w_hh_c + b_hh_c
+            xr, xz, xn = jnp.split(ih_t, 3, axis=-1)
+            hr, hz, hn = jnp.split(hh, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            # torch applies the reset gate to the hidden candidate term only
+            n = jnp.tanh(xn + r * hn)
+            h_new = (1.0 - z) * n + z * h
+            h_new = jnp.where(t < t_len, h_new, h)
+            return h_new, h_new
+
+        h0 = jnp.zeros((batch, h_dim), dtype)
+        h_final, ys = _scan_rnn(
+            x, h0, step_from_proj, project, self.unroll, self.chunk_size
+        )
+        return ys, h_final
+
+
+class StackedRNN(nn.Module):
+    """num_layers of LSTM/GRU with torch-style inter-layer dropout."""
+
+    hidden_dim: int
+    num_layers: int = 2
+    cell_type: str = "lstm"  # 'lstm' | 'gru'
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    unroll: int = 2
+    chunk_size: int = _CHUNK
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x: (B, T, D) -> (all outputs of last layer, last layer's final h)."""
+        layer_cls = {"lstm": LSTMLayer, "gru": GRULayer}[self.cell_type]
+        h_final = None
+        for layer_idx in range(self.num_layers):
+            x, h_final = layer_cls(
+                hidden_dim=self.hidden_dim,
+                dtype=self.dtype,
+                unroll=self.unroll,
+                chunk_size=self.chunk_size,
+                name=f"layer_{layer_idx}",
+            )(x)
+            if self.dropout > 0 and layer_idx < self.num_layers - 1:
+                x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
+        return x, h_final

@@ -1,0 +1,132 @@
+"""Checkpointing: monitor/top-k/save-last semantics + auto-resume.
+
+Mirrors the reference ModelCheckpoint contract
+(/root/reference/src/train.py:504-511): monitor ``val/loss`` (min), keep
+``save_top_k`` best files named ``epoch={e}-val_loss={v:.4f}.ckpt``, always
+refresh ``last.ckpt``, and copy the winner to ``best.ckpt`` at the end
+(ref :638-641).  Adds what the reference lacks (SURVEY.md §5 failure
+detection row): ``latest()`` enables resume-after-preemption.
+
+Format: flax msgpack of the full TrainState pytree + a JSON sidecar with
+step/epoch/metric (stable across JAX versions, no directory trees).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: Path, state: Any, meta: Dict[str, Any]) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    host_state = jax.device_get(state)
+    path.write_bytes(serialization.to_bytes(host_state))
+    path.with_suffix(path.suffix + ".json").write_text(json.dumps(meta, indent=2))
+
+
+def restore_checkpoint(path: Path, target: Any) -> Tuple[Any, Dict[str, Any]]:
+    path = Path(path)
+    state = serialization.from_bytes(target, path.read_bytes())
+    meta_path = path.with_suffix(path.suffix + ".json")
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    return state, meta
+
+
+class CheckpointManager:
+    def __init__(self, dirpath: Path, save_top_k: int = 1, mode: str = "min"):
+        self.dirpath = Path(dirpath)
+        self.dirpath.mkdir(parents=True, exist_ok=True)
+        self.save_top_k = save_top_k
+        self.mode = mode
+        # (metric, path) of currently-kept top-k checkpoints
+        self._kept: List[Tuple[float, Path]] = []
+        self.best_model_path: Optional[Path] = None
+        self.best_model_score: float = np.inf if mode == "min" else -np.inf
+
+    def _is_better(self, a: float, b: float) -> bool:
+        return a < b if self.mode == "min" else a > b
+
+    def on_epoch_end(
+        self, state: Any, epoch: int, monitor_value: float
+    ) -> None:
+        meta = {
+            "epoch": int(epoch),
+            "step": int(jax.device_get(state.step)),
+            "val_loss": float(monitor_value),
+        }
+        # save_last=True parity
+        save_checkpoint(self.dirpath / "last.ckpt", state, meta)
+
+        if self.save_top_k == 0:
+            return
+        worst_kept = (
+            max(self._kept)[0]
+            if (self.mode == "min" and self._kept)
+            else (min(self._kept)[0] if self._kept else None)
+        )
+        should_keep = len(self._kept) < self.save_top_k or (
+            worst_kept is not None and self._is_better(monitor_value, worst_kept)
+        )
+        if not should_keep:
+            return
+        fname = f"epoch={epoch}-val_loss={monitor_value:.4f}.ckpt"
+        path = self.dirpath / fname
+        save_checkpoint(path, state, meta)
+        self._kept.append((float(monitor_value), path))
+        self._kept.sort(key=lambda kv: kv[0], reverse=(self.mode != "min"))
+        while len(self._kept) > self.save_top_k:
+            _, drop = self._kept.pop()
+            drop.unlink(missing_ok=True)
+            drop.with_suffix(drop.suffix + ".json").unlink(missing_ok=True)
+        if self._is_better(monitor_value, self.best_model_score):
+            self.best_model_score = float(monitor_value)
+            self.best_model_path = path
+
+    def copy_best(self, target: Path) -> Optional[Path]:
+        if self.best_model_path and self.best_model_path.exists():
+            shutil.copy(str(self.best_model_path), str(target))
+            shutil.copy(
+                str(self.best_model_path) + ".json", str(target) + ".json"
+            )
+            return Path(target)
+        return None
+
+    def latest(self) -> Optional[Path]:
+        last = self.dirpath / "last.ckpt"
+        return last if last.exists() else None
+
+
+class EarlyStopping:
+    """monitor val/loss, mode min, patience N (ref train.py:513-518)."""
+
+    def __init__(self, patience: int = 10, mode: str = "min",
+                 min_delta: float = 0.0):
+        self.patience = patience
+        self.mode = mode
+        self.min_delta = min_delta
+        self.best = np.inf if mode == "min" else -np.inf
+        self.wait = 0
+        self.stopped = False
+
+    def update(self, value: float) -> bool:
+        """Returns True if training should stop."""
+        improved = (
+            value < self.best - self.min_delta
+            if self.mode == "min"
+            else value > self.best + self.min_delta
+        )
+        if improved:
+            self.best = float(value)
+            self.wait = 0
+        else:
+            self.wait += 1
+            if self.wait >= self.patience:
+                self.stopped = True
+        return self.stopped

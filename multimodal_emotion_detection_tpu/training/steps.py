@@ -1,0 +1,203 @@
+"""Jit-compiled train/eval steps over a functional TrainState.
+
+Replaces the Lightning training/validation/test steps
+(/root/reference/src/train.py:93-232) with pure functions:
+
+* one ``train_step(state, data, idx, valid, key)`` that *gathers the batch
+  on-device* from the HBM-resident split, generates the modality-dropout
+  mask from an explicit PRNG key, runs forward+backward+optimizer update,
+  and returns the metrics the reference logs (loss/acc/confidence_mean) —
+  all inside a single XLA program;
+* one ``eval_step`` returning exact per-batch metric *sums* (so epoch
+  aggregation over uneven batches is exact) plus logits for test-time
+  confusion/calibration artifacts.
+
+Batch-stats (BatchNorm) collections are threaded when the model has them
+(cnn/mlp encoders), otherwise elided at trace time.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core, struct
+
+from multimodal_emotion_detection_tpu.data.masking import modality_dropout_mask
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    model_state: Any  # e.g. {'batch_stats': ...}; empty dict if unused
+    opt_state: Any
+
+
+def create_train_state(
+    model,
+    tx: optax.GradientTransformation,
+    sample_features: Dict[str, jnp.ndarray],
+    sample_mask: jnp.ndarray,
+    rng: jax.Array,
+) -> TrainState:
+    """Initialize parameters (jitted — one XLA program, not one per param)."""
+
+    @jax.jit
+    def init(rng):
+        return model.init(rng, sample_features, sample_mask)
+
+    variables = init(rng)
+    variables = core.unfreeze(variables) if hasattr(variables, "unfreeze") else dict(
+        variables
+    )
+    params = variables.pop("params")
+    model_state = variables  # whatever is left (batch_stats, ...)
+    opt_state = tx.init(params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        model_state=model_state,
+        opt_state=opt_state,
+    )
+
+
+def _cross_entropy(logits, labels, valid):
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    denom = jnp.clip(valid.sum(), min=1.0)
+    return (ce * valid).sum() / denom
+
+
+def _batch_metrics(logits, labels, valid) -> Dict[str, jnp.ndarray]:
+    denom = jnp.clip(valid.sum(), min=1.0)
+    preds = jnp.argmax(logits, axis=-1)
+    acc = ((preds == labels) * valid).sum() / denom
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    conf = (probs.max(axis=-1) * valid).sum() / denom
+    ent = (
+        -(probs * jnp.log(jnp.clip(probs, min=1e-12))).sum(axis=-1) * valid
+    ).sum() / denom
+    return {"acc": acc, "confidence_mean": conf, "entropy": ent}
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    num_modalities: int,
+    modality_dropout: float = 0.0,
+    has_batch_stats: bool = False,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted gather+forward+backward+update step.
+
+    Signature of the returned function::
+
+        new_state, metrics = train_step(state, features, labels, idx, valid, key)
+
+    ``features``/``labels`` are the FULL split (device-resident); ``idx`` is
+    the (B,) gather index for this batch; ``valid`` is the (B,) real-row
+    mask; ``key`` is a per-run base key (step number is folded in).
+    """
+
+    def step_fn(state: TrainState, features, labels, idx, valid, key):
+        batch = {m: jnp.take(a, idx, axis=0) for m, a in features.items()}
+        batch_labels = jnp.take(labels, idx, axis=0)
+        b = idx.shape[0]
+
+        step_key = jax.random.fold_in(key, state.step)
+        mask_key, dropout_key = jax.random.split(step_key)
+        mask = modality_dropout_mask(mask_key, b, num_modalities,
+                                     modality_dropout)
+        mask = mask * valid[:, None]
+
+        def loss_fn(params):
+            variables = {"params": params, **state.model_state}
+            if has_batch_stats:
+                logits, new_model_state = model.apply(
+                    variables,
+                    batch,
+                    mask,
+                    deterministic=False,
+                    rngs={"dropout": dropout_key},
+                    mutable=list(state.model_state.keys()),
+                )
+            else:
+                logits = model.apply(
+                    variables,
+                    batch,
+                    mask,
+                    deterministic=False,
+                    rngs={"dropout": dropout_key},
+                )
+                new_model_state = state.model_state
+            loss = _cross_entropy(logits, batch_labels, valid)
+            return loss, (logits, new_model_state)
+
+        (loss, (logits, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **_batch_metrics(logits, batch_labels, valid)}
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            model_state=new_model_state,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, num_modalities: int) -> Callable:
+    """Jitted eval step returning exact metric sums + logits.
+
+    Returns ``(sums, logits)`` where sums has keys loss_sum / correct_sum /
+    conf_sum / entropy_sum / count.
+    """
+
+    def step_fn(params, model_state, features, labels, idx, valid):
+        batch = {m: jnp.take(a, idx, axis=0) for m, a in features.items()}
+        batch_labels = jnp.take(labels, idx, axis=0)
+        b = idx.shape[0]
+        mask = jnp.ones((b, num_modalities), dtype=jnp.float32) * valid[:, None]
+
+        variables = {"params": params, **model_state}
+        logits = model.apply(variables, batch, mask, deterministic=True)
+        if isinstance(logits, tuple):
+            logits = logits[0]
+
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, batch_labels)
+        preds = jnp.argmax(logits, axis=-1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        conf = probs.max(axis=-1)
+        ent = -(probs * jnp.log(jnp.clip(probs, min=1e-12))).sum(axis=-1)
+        sums = {
+            "loss_sum": (ce * valid).sum(),
+            "correct_sum": ((preds == batch_labels) * valid).sum(),
+            "conf_sum": (conf * valid).sum(),
+            "entropy_sum": (ent * valid).sum(),
+            "count": valid.sum(),
+        }
+        return sums, (logits, preds, batch_labels)
+
+    return jax.jit(step_fn)
+
+
+def make_forward_fn(model, num_modalities: int) -> Callable:
+    """Plain jitted inference forward: (params, model_state, features[,mask])
+    -> logits.  The serving-path entry (SURVEY.md §3.3)."""
+
+    @jax.jit
+    def forward(params, model_state, features, mask=None):
+        b = next(iter(features.values())).shape[0]
+        if mask is None:
+            mask = jnp.ones((b, num_modalities), dtype=jnp.float32)
+        variables = {"params": params, **model_state}
+        logits = model.apply(variables, features, mask, deterministic=True)
+        return logits[0] if isinstance(logits, tuple) else logits
+
+    return forward

@@ -1,0 +1,98 @@
+"""Config system: defaults, YAML, overrides, unknown-key rejection, snapshot."""
+
+from pathlib import Path
+
+import pytest
+
+from multimodal_emotion_detection_tpu.config import (
+    Config,
+    ConfigError,
+    apply_overrides,
+    config_to_dict,
+    load_config,
+    snapshot_config,
+)
+
+REPO_BASE_YAML = Path(__file__).resolve().parents[1] / "configs" / "base.yaml"
+
+
+def test_defaults_match_reference_schema():
+    cfg = Config()
+    assert cfg.seed == 42
+    assert cfg.experiment.name == "ravdess_audio_video_baseline"
+    assert cfg.dataset.modalities == ["audio", "video"]
+    assert cfg.dataset.batch_size == 32
+    assert cfg.dataset.num_classes == 8
+    assert cfg.model.output_dim == 128
+    assert cfg.model.fusion_type == "early"
+    assert cfg.training.optimizer == "adamw"
+    assert cfg.training.learning_rate == pytest.approx(1e-3)
+    assert cfg.training.augmentation.modality_dropout == pytest.approx(0.1)
+    assert cfg.evaluation.num_calibration_bins == 15
+
+
+def test_load_repo_base_yaml():
+    cfg = load_config(str(REPO_BASE_YAML))
+    assert cfg.model.encoders["audio"]["encoder_type"] == "lstm"
+    assert cfg.model.encoders["video"]["input_dim"] == 4096
+    assert cfg.model.frontend.hop_length == 128
+
+
+def test_dotted_overrides_typed():
+    cfg = Config()
+    apply_overrides(cfg, [
+        "training.learning_rate=5e-4",
+        "dataset.batch_size=64",
+        "model.encoders.audio.hidden_dim=512",
+        "dataset.modalities=[audio]",
+        "runtime.compute_dtype=bfloat16",
+    ])
+    assert cfg.training.learning_rate == pytest.approx(5e-4)
+    assert cfg.dataset.batch_size == 64
+    assert cfg.model.encoders["audio"]["hidden_dim"] == 512
+    assert cfg.dataset.modalities == ["audio"]
+    assert cfg.runtime.compute_dtype == "bfloat16"
+
+
+def test_unknown_key_rejected():
+    cfg = Config()
+    with pytest.raises(ConfigError, match="Unknown config key"):
+        apply_overrides(cfg, ["training.warmup_stepz=200"])
+    with pytest.raises(ConfigError, match="Unknown config key"):
+        apply_overrides(cfg, ["no_such_section.x=1"])
+
+
+def test_warmup_cosine_supported():
+    # the reference *rejects* this override (slurm_48610692.err); we support it
+    cfg = Config()
+    apply_overrides(
+        cfg, ["training.scheduler=warmup_cosine", "training.warmup_steps=200"]
+    )
+    assert cfg.training.warmup_steps == 200
+
+
+def test_type_mismatch_rejected():
+    cfg = Config()
+    with pytest.raises(ConfigError, match="expects an int"):
+        apply_overrides(cfg, ["dataset.batch_size=hello"])
+
+
+def test_open_encoder_dict_accepts_new_modalities():
+    cfg = Config()
+    apply_overrides(cfg, ["model.encoders.imu={type: sequence, input_dim: 6}"])
+    assert cfg.model.encoders["imu"]["type"] == "sequence"
+    # existing sub-keys merge rather than replace
+    apply_overrides(cfg, ["model.encoders.audio.num_layers=3"])
+    assert cfg.model.encoders["audio"]["num_layers"] == 3
+    assert cfg.model.encoders["audio"]["encoder_type"] == "lstm"
+
+
+def test_snapshot_roundtrip(tmp_path):
+    cfg = Config()
+    overrides = ["training.learning_rate=2e-3"]
+    apply_overrides(cfg, overrides)
+    snap = snapshot_config(cfg, tmp_path, overrides)
+    assert (snap / "config.yaml").exists()
+    reloaded = load_config(str(snap / "config.yaml"))
+    assert config_to_dict(reloaded) == config_to_dict(cfg)
+    assert "training.learning_rate=2e-3" in (snap / "overrides.yaml").read_text()

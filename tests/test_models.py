@@ -1,0 +1,292 @@
+"""Model zoo: encoder/attention/fusion shape + mask-semantics tests.
+
+Port of the reference's per-module __main__ self-tests (SURVEY.md §4:
+encoders.py:639-709, attention.py:605-652, fusion.py:705-739) as real
+pytest, including the mixed availability mask [[1,1],[1,0],[0,1],[1,1]].
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_emotion_detection_tpu.models import (
+    CrossModalAttention,
+    EarlyFusion,
+    FrameEncoder,
+    HybridFusion,
+    LateFusion,
+    LateFusionWithUncertainty,
+    MultimodalClassifier,
+    PairwiseModalityAttention,
+    SequenceEncoder,
+    SimpleMLPEncoder,
+    TemporalAttention,
+    build_encoder,
+    build_fusion_model,
+    uncertainty_weighted_fusion,
+)
+
+KEY = jax.random.PRNGKey(0)
+B, T, D, OUT = 4, 12, 8, 10
+MIXED_MASK = jnp.array([[1., 1.], [1., 0.], [0., 1.], [1., 1.]])
+
+
+def _init(module, *args, **kwargs):
+    return jax.jit(lambda k: module.init(k, *args, **kwargs))(KEY)
+
+
+@pytest.mark.parametrize("enc_type", ["lstm", "gru", "cnn", "transformer"])
+def test_sequence_encoder_shapes(enc_type):
+    enc = SequenceEncoder(input_dim=D, hidden_dim=16, output_dim=OUT,
+                          encoder_type=enc_type, num_layers=2)
+    x = jax.random.normal(KEY, (B, T, D))
+    variables = _init(enc, x)
+    out = enc.apply(variables, x)
+    assert out.shape == (B, OUT)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_sequence_encoder_lengths_gather():
+    """Padded rows must not change the last-hidden gather result."""
+    enc = SequenceEncoder(input_dim=D, hidden_dim=16, output_dim=OUT,
+                          encoder_type="lstm", num_layers=1)
+    x = jax.random.normal(KEY, (2, T, D))
+    variables = _init(enc, x)
+    lengths = jnp.array([T, 5])
+    out = enc.apply(variables, x, lengths)
+    # row 1 with junk after t=5 must equal the same row truncated+re-padded
+    x_trunc = x.at[1, 5:].set(123.0)
+    out2 = enc.apply(variables, x_trunc, lengths)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(out2[1]),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("pooling", ["attention", "average", "max"])
+def test_frame_encoder(pooling):
+    enc = FrameEncoder(frame_dim=D, hidden_dim=16, output_dim=OUT,
+                       temporal_pooling=pooling)
+    x = jax.random.normal(KEY, (B, T, D))
+    variables = _init(enc, x)
+    out = enc.apply(variables, x)
+    assert out.shape == (B, OUT)
+    # frame-validity mask changes the result
+    fmask = jnp.ones((B, T)).at[:, T // 2:].set(0)
+    out_masked = enc.apply(variables, x, fmask)
+    assert not np.allclose(np.asarray(out), np.asarray(out_masked))
+
+
+def test_mlp_encoder_rank2_and_rank3():
+    enc = SimpleMLPEncoder(input_dim=D, hidden_dim=16, output_dim=OUT)
+    x2 = jax.random.normal(KEY, (B, D))
+    variables = _init(enc, x2)
+    assert enc.apply(variables, x2).shape == (B, OUT)
+    x3 = jax.random.normal(KEY, (B, T, D))
+    v3 = _init(enc, x3)
+    assert enc.apply(v3, x3).shape == (B, OUT)  # per-step + mean pool
+
+
+def test_build_encoder_heuristics():
+    assert isinstance(build_encoder("video", 16, OUT), FrameEncoder)
+    assert isinstance(build_encoder("audio", 16, OUT), SequenceEncoder)
+    assert isinstance(build_encoder("heart_rate", 16, OUT), SimpleMLPEncoder)
+    assert isinstance(
+        build_encoder("x", 16, OUT, {"type": "mlp"}), SimpleMLPEncoder
+    )
+    with pytest.raises(ValueError, match="Unknown encoder type"):
+        build_encoder("x", 16, OUT, {"type": "nope"})
+
+
+def test_cross_modal_attention_mask_semantics():
+    cma = CrossModalAttention(query_dim=D, key_dim=D, hidden_dim=16,
+                              num_heads=4)
+    q = jax.random.normal(KEY, (B, D))
+    kv = jax.random.normal(jax.random.PRNGKey(1), (B, 3, D))
+    variables = _init(cma, q, kv, kv)
+    out, attn = cma.apply(variables, q, kv, kv)
+    assert out.shape == (B, 16) and attn.shape == (B, 4, 1, 3)
+    np.testing.assert_allclose(np.asarray(attn.sum(-1)), 1.0, rtol=1e-5)
+
+    # numeric valid-mask auto-inversion: key 1 invalid -> zero weight
+    key_mask = jnp.array([[1., 0., 1.]] * B)
+    _, attn_m = cma.apply(variables, q, kv, kv, key_mask)
+    assert float(jnp.abs(attn_m[:, :, :, 1]).max()) == 0.0
+
+    # all-masked rows -> zero attention, no NaN (ref attention.py:123-128)
+    all_masked = jnp.zeros((B, 3))
+    out_z, attn_z = cma.apply(variables, q, kv, kv, all_masked)
+    assert float(jnp.abs(attn_z).max()) == 0.0
+    assert bool(jnp.isfinite(out_z).all())
+
+
+def test_temporal_attention_and_pooling():
+    ta = TemporalAttention(feature_dim=D, hidden_dim=16, num_heads=4)
+    x = jax.random.normal(KEY, (B, T, D))
+    variables = _init(ta, x)
+    seq, w = ta.apply(variables, x, jnp.ones((B, T)))
+    assert seq.shape == (B, T, 16) and w.shape == (B, 4, T, T)
+    pooled = TemporalAttention.pool_sequence(seq, w)
+    assert pooled.shape == (B, 16)
+
+
+def test_pairwise_modality_attention_zeroes_missing():
+    dims = {"a": D, "b": D}
+    pma = PairwiseModalityAttention(modality_dims=dims, hidden_dim=16)
+    feats = {
+        "a": jax.random.normal(KEY, (B, D)),
+        "b": jax.random.normal(jax.random.PRNGKey(1), (B, D)),
+    }
+    variables = _init(pma, feats, MIXED_MASK)
+    attended, maps = pma.apply(variables, feats, MIXED_MASK)
+    assert set(maps) == {"a_to_b", "b_to_a"}
+    # sample 2 has modality a missing -> its attended['a'] row is zero
+    assert float(jnp.abs(attended["a"][2]).max()) == 0.0
+    assert float(jnp.abs(attended["b"][1]).max()) == 0.0
+    assert bool(jnp.isfinite(attended["a"]).all())
+
+
+@pytest.mark.parametrize("fusion_type", ["early", "late", "hybrid"])
+def test_fusions_mixed_mask(fusion_type):
+    dims = {"a": D, "b": D}
+    model = build_fusion_model(fusion_type, dims, num_classes=5,
+                               hidden_dim=16, num_heads=4, dropout=0.1)
+    feats = {
+        "a": jax.random.normal(KEY, (B, D)),
+        "b": jax.random.normal(jax.random.PRNGKey(1), (B, D)),
+    }
+    variables = _init(model, feats, MIXED_MASK)
+    out = model.apply(variables, feats, MIXED_MASK)
+    logits = out[0] if isinstance(out, tuple) else out
+    assert logits.shape == (B, 5)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_late_fusion_mask_renormalization():
+    dims = {"a": D, "b": D}
+    model = LateFusion(modality_dims=dims, hidden_dim=16, num_classes=5)
+    feats = {
+        "a": jax.random.normal(KEY, (B, D)),
+        "b": jax.random.normal(jax.random.PRNGKey(1), (B, D)),
+    }
+    variables = _init(model, feats, MIXED_MASK)
+    fused, per_mod = model.apply(variables, feats, MIXED_MASK)
+    # sample 1 keeps only modality a -> fused logits == a's logits
+    np.testing.assert_allclose(np.asarray(fused[1]),
+                               np.asarray(per_mod["a"][1]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused[2]),
+                               np.asarray(per_mod["b"][2]), rtol=1e-5)
+
+
+def test_hybrid_fusion_return_attention():
+    dims = {"a": D, "b": D}
+    model = HybridFusion(modality_dims=dims, hidden_dim=16, num_classes=5)
+    feats = {
+        "a": jax.random.normal(KEY, (B, D)),
+        "b": jax.random.normal(jax.random.PRNGKey(1), (B, D)),
+    }
+    variables = _init(model, feats, MIXED_MASK)
+    logits, info = model.apply(variables, feats, MIXED_MASK,
+                               return_attention=True)
+    w = np.asarray(info["fusion_weights"])
+    np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-5)
+    assert w[1, 1] == pytest.approx(0.0, abs=1e-6)  # masked modality b
+    assert info["H_att"].shape == (B, 2, 16)
+
+
+def test_uncertainty_weighted_fusion_math():
+    logits = jnp.stack([jnp.ones((B, 5)), 3 * jnp.ones((B, 5))], axis=1)
+    unc = jnp.array([[0.1, 0.1]] * B)
+    fused, w = uncertainty_weighted_fusion(logits, unc, jnp.ones((B, 2)))
+    np.testing.assert_allclose(np.asarray(fused), 2.0, rtol=1e-4)
+    # mask kills modality 1
+    fused2, w2 = uncertainty_weighted_fusion(logits, unc, MIXED_MASK)
+    np.testing.assert_allclose(np.asarray(fused2[1]), 1.0, rtol=1e-4)
+    # lower uncertainty -> higher weight
+    unc3 = jnp.array([[0.01, 1.0]] * B)
+    _, w3 = uncertainty_weighted_fusion(logits, unc3, jnp.ones((B, 2)))
+    assert float(w3[0, 0]) > float(w3[0, 1])
+
+
+def test_late_fusion_with_uncertainty():
+    dims = {"a": D, "b": D}
+    model = LateFusionWithUncertainty(modality_dims=dims, num_classes=5,
+                                      hidden_dim=8)
+    feats = {
+        "a": jax.random.normal(KEY, (B, D)),
+        "b": jax.random.normal(jax.random.PRNGKey(1), (B, D)),
+    }
+    variables = _init(model, feats, MIXED_MASK)
+    fused, aux = model.apply(variables, feats, MIXED_MASK)
+    assert fused.shape == (B, 5)
+    assert aux["per_modality_logits"].shape == (B, 2, 5)
+    assert float(aux["uncertainties"].min()) >= 0.0
+    np.testing.assert_allclose(
+        np.asarray(aux["fusion_weights"].sum(-1)), 1.0, rtol=1e-4
+    )
+
+
+def test_classifier_concat_vs_library():
+    enc_cfg = {
+        "a": {"type": "mlp", "input_dim": D, "hidden_dim": 8, "num_layers": 1,
+              "batch_norm": False},
+        "b": {"type": "mlp", "input_dim": D, "hidden_dim": 8, "num_layers": 1,
+              "batch_norm": False},
+    }
+    feats = {
+        "a": jax.random.normal(KEY, (B, D)),
+        "b": jax.random.normal(jax.random.PRNGKey(1), (B, D)),
+    }
+    for train_fusion in ("concat", "library"):
+        clf = MultimodalClassifier(
+            modalities=("a", "b"), encoder_configs=enc_cfg, num_classes=5,
+            output_dim=6, hidden_dim=8, train_fusion=train_fusion,
+            fusion_type="hybrid",
+        )
+        variables = _init(clf, feats)
+        logits = clf.apply(variables, feats)
+        assert logits.shape == (B, 5)
+
+
+def test_classifier_mask_ignored_by_default():
+    """Reference quirk #2 parity: mask must not change concat-path output."""
+    enc_cfg = {
+        "a": {"type": "mlp", "input_dim": D, "hidden_dim": 8, "num_layers": 1,
+              "batch_norm": False},
+    }
+    feats = {"a": jax.random.normal(KEY, (B, D))}
+    clf = MultimodalClassifier(modalities=("a",), encoder_configs=enc_cfg,
+                               num_classes=5, output_dim=6, hidden_dim=8)
+    variables = _init(clf, feats)
+    out1 = clf.apply(variables, feats, jnp.ones((B, 1)))
+    out2 = clf.apply(variables, feats, jnp.zeros((B, 1)))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_rnn_chunked_remat_matches_full_scan():
+    """Long-T path (chunked + jax.checkpoint) must equal the plain scan."""
+    from multimodal_emotion_detection_tpu.models.recurrent import (
+        GRULayer,
+        LSTMLayer,
+    )
+
+    x = jax.random.normal(KEY, (2, 70, 3))
+    for cls in (LSTMLayer, GRULayer):
+        full = cls(hidden_dim=16, chunk_size=0)
+        chunked = cls(hidden_dim=16, chunk_size=16)  # 70 = 4*16 + 6 (pad)
+        # chunk_size is not a parameter, so weights are interchangeable
+        variables = jax.jit(lambda k: full.init(k, x))(KEY)
+        ys_f, h_f = full.apply(variables, x)
+        ys_c, h_c = chunked.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_c),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ys_f), np.asarray(ys_c),
+                                   rtol=1e-5, atol=1e-6)
+        # gradients flow through the remat path
+        def loss(v):
+            _, h = chunked.apply(v, x)
+            return (h ** 2).sum()
+        g = jax.grad(loss)(variables)
+        assert all(
+            bool(jnp.isfinite(leaf).all())
+            for leaf in jax.tree_util.tree_leaves(g)
+        )

@@ -1,0 +1,95 @@
+"""Pallas/XLA kernels: log-mel parity, area resize vs OpenCV."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_emotion_detection_tpu.ops.logmel import (
+    LogMelParams,
+    logmel_frames,
+    logmel_pallas,
+    mel_filterbank,
+)
+from multimodal_emotion_detection_tpu.ops.resize import (
+    area_resize,
+    area_resize_np,
+    bgr_to_gray,
+)
+
+
+def test_logmel_xla_shapes():
+    p = LogMelParams()
+    wave = jax.random.normal(jax.random.PRNGKey(0), (2, 48000))
+    out = logmel_frames(wave, p)
+    assert out.shape == (2, p.num_frames(48000), p.n_mels)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_logmel_matches_manual_stft():
+    """Cross-check one frame against a direct numpy rFFT."""
+    p = LogMelParams(n_fft=256, hop_length=128, win_length=256, n_mels=16)
+    rng = np.random.RandomState(0)
+    wave = rng.randn(1, 1024).astype(np.float32)
+    out = np.asarray(logmel_frames(jnp.asarray(wave), p))
+
+    n = np.arange(256)
+    win = 0.5 * (1 - np.cos(2 * np.pi * n / 256))
+    frame0 = wave[0, :256] * win
+    spec = np.abs(np.fft.rfft(frame0)) ** 2
+    mel = spec @ mel_filterbank(p)
+    expected = np.log(mel + p.log_epsilon)
+    np.testing.assert_allclose(out[0, 0], expected, rtol=2e-4, atol=2e-4)
+
+
+def test_logmel_pallas_interpret_matches_xla():
+    p = LogMelParams()  # hop 128 -> pallas-eligible
+    wave = jax.random.normal(jax.random.PRNGKey(1), (2, 48000))
+    ref = logmel_frames(wave, p)
+    ker = logmel_pallas(wave, p, interpret=True)
+    assert ker.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_logmel_pallas_rejects_unsupported_hop():
+    p = LogMelParams(hop_length=160)
+    wave = jnp.zeros((1, 48000))
+    with pytest.raises(ValueError, match="hop_length == 128"):
+        logmel_pallas(wave, p, interpret=True)
+
+
+def test_area_resize_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(0)
+    img = rng.rand(96, 80).astype(np.float32)
+    ours = np.asarray(area_resize(jnp.asarray(img), 64, 64))
+    ref = cv2.resize(img, (64, 64), interpolation=cv2.INTER_AREA)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+    # integer factor (box filter) case
+    img2 = rng.rand(128, 128).astype(np.float32)
+    ours2 = np.asarray(area_resize(jnp.asarray(img2), 32, 32))
+    ref2 = cv2.resize(img2, (32, 32), interpolation=cv2.INTER_AREA)
+    np.testing.assert_allclose(ours2, ref2, rtol=1e-5, atol=1e-5)
+    # numpy twin
+    np.testing.assert_allclose(
+        area_resize_np(img, 64, 64), ref, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_area_resize_batched():
+    rng = np.random.RandomState(1)
+    imgs = rng.rand(3, 5, 40, 30).astype(np.float32)
+    out = np.asarray(area_resize(jnp.asarray(imgs), 16, 16))
+    assert out.shape == (3, 5, 16, 16)
+    single = np.asarray(area_resize(jnp.asarray(imgs[1, 2]), 16, 16))
+    np.testing.assert_allclose(out[1, 2], single, rtol=1e-6)
+
+
+def test_bgr_to_gray_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(2)
+    img = rng.rand(16, 16, 3).astype(np.float32)
+    ours = np.asarray(bgr_to_gray(jnp.asarray(img)))
+    ref = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)

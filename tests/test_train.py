@@ -1,0 +1,208 @@
+"""Training engine: schedules, overfit-one-batch, checkpoints, early stop.
+
+The overfit test is the port of the reference debug harness's canonical
+"does the loop learn at all" probe (/root/reference/src/debug.py:64-126).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_emotion_detection_tpu.config import Config, apply_overrides
+from multimodal_emotion_detection_tpu.data.loader import create_dataloaders
+from multimodal_emotion_detection_tpu.training.checkpoints import (
+    CheckpointManager,
+    EarlyStopping,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from multimodal_emotion_detection_tpu.training.loop import Trainer
+from multimodal_emotion_detection_tpu.training.optim import lr_schedule
+
+
+def tiny_config(**over) -> Config:
+    cfg = Config()
+    apply_overrides(cfg, [
+        "dataset.name=synthetic",
+        "dataset.modalities=[s1,s2]",
+        "dataset.num_samples=48",
+        "dataset.num_samples_eval=40",
+        "dataset.num_classes=4",
+        "dataset.batch_size=16",
+        "dataset.sequence_length=6",
+        "dataset.modality_dim=8",
+        ("model.encoders={s1: {type: mlp, input_dim: 8, hidden_dim: 16, "
+         "num_layers: 1, batch_norm: false}, s2: {type: mlp, input_dim: 8, "
+         "hidden_dim: 16, num_layers: 1, batch_norm: false}}"),
+        "model.output_dim=8",
+        "model.hidden_dim=16",
+        "training.max_epochs=2",
+        "training.learning_rate=1e-2",
+    ])
+    for k, v in over.items():
+        setattr_path(cfg, k, v)
+    return cfg
+
+
+def setattr_path(cfg, dotted, value):
+    parts = dotted.split(".")
+    node = cfg
+    for p in parts[:-1]:
+        node = getattr(node, p)
+    setattr(node, parts[-1], value)
+
+
+def make_loaders(cfg):
+    return create_dataloaders(
+        cfg.dataset.name, cfg.dataset.data_dir, cfg.dataset.modalities,
+        batch_size=cfg.dataset.batch_size,
+        modality_dropout=cfg.training.augmentation.modality_dropout,
+        seed=cfg.seed,
+        num_samples=cfg.dataset.num_samples,
+        num_samples_eval=cfg.dataset.num_samples_eval,
+        num_classes=cfg.dataset.num_classes,
+        modality_dim=cfg.dataset.modality_dim,
+        sequence_length=cfg.dataset.sequence_length,
+    )
+
+
+# ---------------------------------------------------------------------------
+def test_lr_schedules():
+    cfg = Config().training
+    cfg.learning_rate = 1.0
+    cfg.max_epochs = 10
+
+    cfg.scheduler = "none"
+    s = lr_schedule(cfg, steps_per_epoch=5)
+    assert float(s(0)) == pytest.approx(1.0)
+    assert float(s(49)) == pytest.approx(1.0)
+
+    cfg.scheduler = "cosine"
+    s = lr_schedule(cfg, steps_per_epoch=5)
+    assert float(s(0)) == pytest.approx(1.0)
+    assert float(s(5 * 10)) == pytest.approx(0.01, abs=1e-6)  # eta_min=lr/100
+    assert float(s(25)) == pytest.approx(0.505, abs=1e-3)  # half-way
+
+    cfg.scheduler = "step"
+    cfg.scheduler_step_size = 3
+    cfg.scheduler_gamma = 0.1
+    s = lr_schedule(cfg, steps_per_epoch=5)
+    assert float(s(0)) == pytest.approx(1.0)
+    assert float(s(5 * 3)) == pytest.approx(0.1)
+    assert float(s(5 * 6)) == pytest.approx(0.01)
+
+    cfg.scheduler = "warmup_cosine"
+    cfg.warmup_steps = 10
+    s = lr_schedule(cfg, steps_per_epoch=5)
+    assert float(s(0)) == pytest.approx(0.0, abs=1e-6)
+    assert float(s(10)) == pytest.approx(1.0)
+
+
+def test_trainer_fit_and_artifacts(tmp_path):
+    cfg = tiny_config()
+    cfg.experiment.save_dir = str(tmp_path)
+    train_loader, val_loader, test_loader = make_loaders(cfg)
+    trainer = Trainer(cfg, save_dir=tmp_path / "run")
+    trainer.fit(train_loader, val_loader)
+    assert trainer.num_params > 0
+    assert len(trainer.history) == 2
+    row = trainer.history[-1]
+    for col in ("train/loss", "train/acc", "train/confidence_mean",
+                "val/loss", "val/acc", "val/entropy", "lr-AdamW"):
+        assert col in row
+    # checkpoints: last + top-1
+    assert (tmp_path / "run" / "checkpoints" / "last.ckpt").exists()
+    assert trainer.checkpoints.best_model_path is not None
+    # CSV written with reference metric columns
+    csv_text = trainer.csv_logger.path.read_text()
+    assert "train/loss" in csv_text and "val/entropy" in csv_text
+
+    metrics, logits, preds, labels = trainer.test(test_loader)
+    assert logits.shape[0] == test_loader.num_samples  # padding filtered
+    assert 0.0 <= metrics["test/acc_agg"] <= 1.0
+
+
+def test_overfit_one_batch():
+    """One batch, many steps, near-perfect train accuracy (debug.py:64-126)."""
+    cfg = tiny_config()
+    cfg.dataset.num_samples = 16
+    cfg.dataset.batch_size = 16
+    cfg.training.max_epochs = 1
+    cfg.training.augmentation.modality_dropout = 0.0
+    train_loader, _, _ = make_loaders(cfg)
+
+    trainer = Trainer(cfg, save_dir="/tmp/overfit_test")
+    trainer._build(train_loader)
+    feats, labels = train_loader.device_arrays()
+    idx = jnp.arange(16, dtype=jnp.int32)
+    valid = jnp.ones((16,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    state = trainer.state
+    acc = 0.0
+    for _ in range(150):
+        state, metrics = trainer._train_step(state, feats, labels, idx, valid,
+                                             key)
+        acc = float(metrics["acc"])
+        if acc > 0.98:
+            break
+    assert acc > 0.98, f"failed to overfit one batch: acc={acc}"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_config()
+    train_loader, val_loader, _ = make_loaders(cfg)
+    trainer = Trainer(cfg, save_dir=tmp_path)
+    trainer._build(train_loader)
+    state = trainer.state
+    save_checkpoint(tmp_path / "x.ckpt", state, {"epoch": 3})
+    zero_state = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored, meta = restore_checkpoint(tmp_path / "x.ckpt", zero_state)
+    assert meta["epoch"] == 3
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_manager_topk(tmp_path):
+    from flax import struct
+
+    class FakeState(struct.PyTreeNode):
+        step: jnp.ndarray
+
+    mgr = CheckpointManager(tmp_path, save_top_k=2)
+    losses = [3.0, 2.0, 2.5, 1.0]
+    for epoch, loss in enumerate(losses):
+        mgr.on_epoch_end(FakeState(step=jnp.zeros((), jnp.int32)), epoch, loss)
+    kept = sorted(p.name for p in tmp_path.glob("epoch=*.ckpt"))
+    assert len(kept) == 2
+    assert "epoch=3-val_loss=1.0000.ckpt" in kept
+    assert "epoch=1-val_loss=2.0000.ckpt" in kept
+    assert mgr.best_model_score == pytest.approx(1.0)
+    assert (tmp_path / "last.ckpt").exists()
+
+
+def test_early_stopping():
+    es = EarlyStopping(patience=2)
+    assert not es.update(1.0)
+    assert not es.update(0.9)
+    assert not es.update(0.95)  # wait 1
+    assert es.update(0.92)  # wait 2 -> stop
+    assert es.stopped
+
+
+def test_resume(tmp_path):
+    cfg = tiny_config()
+    cfg.training.max_epochs = 2
+    train_loader, val_loader, _ = make_loaders(cfg)
+    t1 = Trainer(cfg, save_dir=tmp_path)
+    t1.fit(train_loader, val_loader)
+    step_after = int(jax.device_get(t1.state.step))
+
+    cfg2 = tiny_config()
+    cfg2.training.max_epochs = 4
+    t2 = Trainer(cfg2, save_dir=tmp_path)
+    # fresh trainer resumes from last.ckpt and continues to epoch 4
+    train_loader2, val_loader2, _ = make_loaders(cfg2)
+    t2.fit(train_loader2, val_loader2, resume=True)
+    assert int(jax.device_get(t2.state.step)) == 2 * step_after
