@@ -91,11 +91,11 @@ class CrossModalAttention(nn.Module):
         b, t_q, _ = query.shape
         t_k = key.shape[1]
 
-        query = nn.LayerNorm(dtype=self.dtype, name="q_in_ln")(
+        query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="q_in_ln")(
             query.astype(self.dtype)
         )
-        key = nn.LayerNorm(dtype=self.dtype, name="k_in_ln")(key.astype(self.dtype))
-        value = nn.LayerNorm(dtype=self.dtype, name="v_in_ln")(
+        key = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="k_in_ln")(key.astype(self.dtype))
+        value = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="v_in_ln")(
             value.astype(self.dtype)
         )
 
@@ -259,7 +259,7 @@ class PairwiseModalityAttention(nn.Module):
                 attention_maps[f"{bb}_to_{a}"] = att_ba
 
         attended: Dict[str, jnp.ndarray] = {}
-        out_ln = nn.LayerNorm(dtype=self.dtype, name="out_ln")
+        out_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="out_ln")
         for name in names:
             if messages[name]:
                 msg_sum = sum(messages[name])

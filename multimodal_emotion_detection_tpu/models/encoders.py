@@ -93,12 +93,12 @@ class TransformerBlock(nn.Module):
             dtype=self.dtype,
             name="self_attn",
         )(x, x, mask=attn_mask)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x + attn_out)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(x + attn_out)
         h = nn.Dense(self.hidden_dim * 4, dtype=self.dtype, name="ffn_in")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch F.gelu is the exact erf form
         h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="ffn_out")(h)
-        return nn.LayerNorm(dtype=self.dtype, name="ln2")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(x + h)
 
 
 class SequenceEncoder(nn.Module):
@@ -234,7 +234,7 @@ class FrameEncoder(nn.Module):
             raise ValueError(f"Unknown pooling: {self.temporal_pooling}")
 
         pooled = nn.Dropout(rate=self.dropout)(pooled, deterministic=deterministic)
-        pooled = nn.LayerNorm(dtype=self.dtype, name="proj_ln")(pooled)
+        pooled = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="proj_ln")(pooled)
         return nn.Dense(self.output_dim, dtype=self.dtype, name="projection")(pooled)
 
 
@@ -309,7 +309,7 @@ class ImageCNNEncoder(nn.Module):
             feats = net(frames.astype(self.dtype), deterministic=deterministic,
                         bn_eval=bn_ra)
             feats = nn.Dropout(rate=self.dropout)(feats, deterministic=deterministic)
-            feats = nn.LayerNorm(dtype=self.dtype, name="proj_ln")(feats)
+            feats = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="proj_ln")(feats)
             return nn.Dense(self.output_dim, dtype=self.dtype, name="projection")(
                 feats
             )
@@ -329,7 +329,7 @@ class ImageCNNEncoder(nn.Module):
             pooled = nn.Dropout(rate=self.dropout)(
                 pooled, deterministic=deterministic
             )
-            pooled = nn.LayerNorm(dtype=self.dtype, name="proj_ln")(pooled)
+            pooled = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="proj_ln")(pooled)
             return nn.Dense(self.output_dim, dtype=self.dtype, name="projection")(
                 pooled
             )

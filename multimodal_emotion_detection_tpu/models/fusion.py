@@ -93,7 +93,7 @@ class EarlyFusion(nn.Module):
         h = concat
         for i in range(2):
             h = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"dense_{i}")(h)
-            h = nn.LayerNorm(dtype=self.dtype, name=f"ln_{i}")(h)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ln_{i}")(h)
             h = nn.relu(h)
             h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(h)
@@ -196,9 +196,9 @@ class HybridFusion(nn.Module):
             for i, name in enumerate(names)
         ]
         z = jnp.stack(proj, axis=1)  # (B, M, D)
-        z = nn.LayerNorm(dtype=self.dtype, name="pre_ln")(z)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_ln")(z)
 
-        post_ln = nn.LayerNorm(dtype=self.dtype, name="post_ln")
+        post_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="post_ln")
         attended = []
         attn_info: Dict[str, jnp.ndarray] = {}
         for i, name in enumerate(names):

@@ -61,7 +61,7 @@ def _scan_rnn(
     step_from_proj,  # (carry, proj_t, t) -> (carry, y_t)
     project,  # (chunk_x (S, B, D)) -> per-step projections (S, B, *)
     unroll: int,
-    chunk_size: int,
+    chunk_size,  # None = auto, 0 = never chunk, N = chunk when T > N
 ):
     """Shared scan driver: full-hoist for short T, chunked remat for long.
 
@@ -71,7 +71,9 @@ def _scan_rnn(
     batch, t_len, _ = x.shape
     x_tm = jnp.swapaxes(x, 0, 1)  # (T, B, D) time-major
 
-    if t_len <= max(chunk_size, _HOIST_LIMIT) or chunk_size <= 0:
+    if chunk_size is None:  # auto: chunk only for genuinely long sequences
+        chunk_size = _CHUNK if t_len > _HOIST_LIMIT else 0
+    if chunk_size <= 0 or t_len <= chunk_size:
         proj = project(x_tm)  # (T, B, *)
         t_idx = jnp.arange(t_len)
 
@@ -111,7 +113,7 @@ class LSTMLayer(nn.Module):
     hidden_dim: int
     dtype: jnp.dtype = jnp.float32
     unroll: int = 2
-    chunk_size: int = _CHUNK
+    chunk_size: int | None = None  # None = auto (chunk when T > 2048)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -154,7 +156,7 @@ class GRULayer(nn.Module):
     hidden_dim: int
     dtype: jnp.dtype = jnp.float32
     unroll: int = 2
-    chunk_size: int = _CHUNK
+    chunk_size: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -203,7 +205,7 @@ class StackedRNN(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     unroll: int = 2
-    chunk_size: int = _CHUNK
+    chunk_size: int | None = None
 
     @nn.compact
     def __call__(

@@ -194,3 +194,35 @@ def compute_calibration_metrics(
         "nll": CalibrationMetrics.negative_log_likelihood(logits, labels),
         "accuracy": float((preds == labels).mean()) if len(labels) else 0.0,
     }
+
+
+def compute_calibration_metrics_over_loader(
+    forward_fn,
+    params,
+    model_state,
+    loader,
+    num_bins: int = 15,
+) -> Dict[str, float]:
+    """Full-split calibration sweep, the loader-level API of the reference's
+    ``compute_calibration_metrics(model, dataloader)``
+    (/root/reference/src/uncertainty.py:471-544).
+
+    ``forward_fn(params, model_state, features, mask) -> logits`` is the
+    jitted inference forward (training.steps.make_forward_fn).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    logits_all, labels_all = [], []
+    for features, labels, mask in loader:
+        logits = forward_fn(params, model_state, features, mask)
+        if isinstance(logits, tuple):
+            logits = logits[0]
+        valid = np.asarray(mask).max(axis=1) > 0
+        logits_all.append(np.asarray(logits)[valid])
+        labels_all.append(np.asarray(labels)[valid])
+    if not logits_all:
+        return {"ece": 0.0, "mce": 0.0, "nll": 0.0, "accuracy": 0.0}
+    return compute_calibration_metrics(
+        np.concatenate(logits_all), np.concatenate(labels_all), num_bins
+    )

@@ -1,0 +1,168 @@
+"""Numerical parity vs torch (CPU) with copied weights.
+
+The reference's recurrences are ``nn.LSTM``/``nn.GRU``
+(/root/reference/src/encoders.py:54-77); these tests copy one set of
+weights into both implementations and require the scan-based re-design to
+reproduce torch's outputs to float32 tolerance — gate order, reset-gate
+placement, inter-layer wiring and all.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from multimodal_emotion_detection_tpu.models.recurrent import (  # noqa: E402
+    GRULayer,
+    LSTMLayer,
+    StackedRNN,
+)
+
+B, T, D, H = 3, 11, 5, 8
+
+
+def _np(x):
+    return x.detach().numpy()
+
+
+def test_lstm_layer_matches_torch():
+    torch.manual_seed(0)
+    ref = torch.nn.LSTM(D, H, num_layers=1, batch_first=True)
+    x = torch.randn(B, T, D)
+    out_t, (h_t, c_t) = ref(x)
+
+    ours = LSTMLayer(hidden_dim=H)
+    variables = {
+        "params": {
+            "w_ih": _np(ref.weight_ih_l0).T,  # (4H, D) -> (D, 4H)
+            "w_hh": _np(ref.weight_hh_l0).T,
+            "b": _np(ref.bias_ih_l0 + ref.bias_hh_l0),
+        }
+    }
+    ys, h_last = ours.apply(variables, jnp.asarray(_np(x)))
+    np.testing.assert_allclose(np.asarray(ys), _np(out_t), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_last), _np(h_t[0]), atol=1e-5)
+
+
+def test_gru_layer_matches_torch():
+    torch.manual_seed(1)
+    ref = torch.nn.GRU(D, H, num_layers=1, batch_first=True)
+    x = torch.randn(B, T, D)
+    out_t, h_t = ref(x)
+
+    ours = GRULayer(hidden_dim=H)
+    variables = {
+        "params": {
+            "w_ih": _np(ref.weight_ih_l0).T,
+            "w_hh": _np(ref.weight_hh_l0).T,
+            "b_ih": _np(ref.bias_ih_l0),
+            "b_hh": _np(ref.bias_hh_l0),
+        }
+    }
+    ys, h_last = ours.apply(variables, jnp.asarray(_np(x)))
+    np.testing.assert_allclose(np.asarray(ys), _np(out_t), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_last), _np(h_t[0]), atol=1e-5)
+
+
+def test_stacked_lstm_matches_torch():
+    torch.manual_seed(2)
+    ref = torch.nn.LSTM(D, H, num_layers=2, batch_first=True)
+    x = torch.randn(B, T, D)
+    out_t, (h_t, _) = ref(x)
+
+    ours = StackedRNN(hidden_dim=H, num_layers=2, cell_type="lstm")
+    variables = {
+        "params": {
+            "layer_0": {
+                "w_ih": _np(ref.weight_ih_l0).T,
+                "w_hh": _np(ref.weight_hh_l0).T,
+                "b": _np(ref.bias_ih_l0 + ref.bias_hh_l0),
+            },
+            "layer_1": {
+                "w_ih": _np(ref.weight_ih_l1).T,
+                "w_hh": _np(ref.weight_hh_l1).T,
+                "b": _np(ref.bias_ih_l1 + ref.bias_hh_l1),
+            },
+        }
+    }
+    ys, h_last = ours.apply(variables, jnp.asarray(_np(x)))
+    np.testing.assert_allclose(np.asarray(ys), _np(out_t), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_last), _np(h_t[-1]), atol=1e-5)
+
+
+def test_chunked_lstm_matches_torch_long_sequence():
+    """The remat'd long-sequence path against torch on T=1500."""
+    torch.manual_seed(3)
+    t_long = 1500
+    ref = torch.nn.LSTM(1, H, num_layers=1, batch_first=True)
+    x = torch.randn(2, t_long, 1)
+    out_t, (h_t, _) = ref(x)
+
+    ours = LSTMLayer(hidden_dim=H, chunk_size=256)  # forces chunked path
+    variables = {
+        "params": {
+            "w_ih": _np(ref.weight_ih_l0).T,
+            "w_hh": _np(ref.weight_hh_l0).T,
+            "b": _np(ref.bias_ih_l0 + ref.bias_hh_l0),
+        }
+    }
+    ys, h_last = ours.apply(variables, jnp.asarray(_np(x)))
+    np.testing.assert_allclose(np.asarray(h_last), _np(h_t[0]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ys), _np(out_t), atol=3e-5)
+
+
+def test_transformer_block_matches_torch():
+    """Post-LN encoder layer vs torch nn.TransformerEncoderLayer (eval)."""
+    import jax.numpy as jnp
+
+    from multimodal_emotion_detection_tpu.models.encoders import (
+        TransformerBlock,
+    )
+
+    e, heads = 16, 4
+    torch.manual_seed(4)
+    ref = torch.nn.TransformerEncoderLayer(
+        d_model=e, nhead=heads, dim_feedforward=e * 4, dropout=0.0,
+        activation="gelu", batch_first=True,
+    ).eval()
+    x = torch.randn(B, T, e)
+    with torch.no_grad():
+        out_t = ref(x)
+
+    hd = e // heads
+    w_in = _np(ref.self_attn.in_proj_weight)  # (3E, E)
+    b_in = _np(ref.self_attn.in_proj_bias)
+
+    def qkv(i):
+        w = w_in[i * e:(i + 1) * e].T  # (E, E), x @ w
+        b = b_in[i * e:(i + 1) * e]
+        return w.reshape(e, heads, hd), b.reshape(heads, hd)
+
+    wq, bq = qkv(0)
+    wk, bk = qkv(1)
+    wv, bv = qkv(2)
+    wo = _np(ref.self_attn.out_proj.weight).T.reshape(heads, hd, e)
+    bo = _np(ref.self_attn.out_proj.bias)
+
+    block = TransformerBlock(hidden_dim=e, num_heads=heads, dropout=0.0)
+    variables = {
+        "params": {
+            "self_attn": {
+                "query": {"kernel": wq, "bias": bq},
+                "key": {"kernel": wk, "bias": bk},
+                "value": {"kernel": wv, "bias": bv},
+                "out": {"kernel": wo, "bias": bo},
+            },
+            "ln1": {"scale": _np(ref.norm1.weight), "bias": _np(ref.norm1.bias)},
+            "ln2": {"scale": _np(ref.norm2.weight), "bias": _np(ref.norm2.bias)},
+            "ffn_in": {"kernel": _np(ref.linear1.weight).T,
+                       "bias": _np(ref.linear1.bias)},
+            "ffn_out": {"kernel": _np(ref.linear2.weight).T,
+                        "bias": _np(ref.linear2.bias)},
+        }
+    }
+    ours = block.apply(variables, jnp.asarray(_np(x)))
+    np.testing.assert_allclose(np.asarray(ours), _np(out_t), atol=2e-5)
