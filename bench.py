@@ -13,17 +13,27 @@ reference repo records no throughput of its own (BASELINE.md), so its
 architecture under identical conditions is the honest baseline; the
 BASELINE.json target ("epoch time <= 25% of reference per chip") maps to
 vs_baseline >= 4.
+
+The log-mel frontend has two implementations (fused Pallas kernel and an
+XLA fallback).  The headline run uses XLA in-process; the Pallas variant is
+additionally timed in a subprocess with a timeout (the tunneled axon
+backend has wedged on kernel faults before) and reported — the faster of
+the two becomes ``value``.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
-def _build(frontend: bool, batch: int, n_rows: int, seed: int = 0):
+def _build(frontend: str, batch: int, n_rows: int, seed: int = 0):
+    """frontend: 'raw' | 'logmel_xla' | 'logmel_pallas'."""
     import jax
     import jax.numpy as jnp
 
@@ -43,16 +53,15 @@ def _build(frontend: bool, batch: int, n_rows: int, seed: int = 0):
         "model.encoders.audio.hidden_dim=256",
         "model.encoders.video.input_dim=4096",
     ])
-    if frontend:
+    if frontend.startswith("logmel"):
         cfg.model.frontend.audio = "logmel"
+        cfg.model.frontend.use_pallas = frontend == "logmel_pallas"
     model = classifier_from_config(cfg)
 
     rng = np.random.RandomState(seed)
     features = {
         "audio": jnp.asarray(rng.randn(n_rows, 48000, 1), jnp.float32),
-        "video": jnp.asarray(
-            rng.rand(n_rows, 24, 4096).astype(np.float32)
-        ),
+        "video": jnp.asarray(rng.rand(n_rows, 24, 4096).astype(np.float32)),
     }
     labels = jnp.asarray(rng.randint(0, 8, n_rows), jnp.int32)
 
@@ -75,12 +84,11 @@ def _time_steps(state, step, features, labels, batch, n_rows, warmup, iters):
 
     key = jax.random.PRNGKey(0)
     idx_pool = [
-        jnp.asarray(
-            (np.arange(batch) + i * batch) % n_rows, dtype=jnp.int32
-        )
+        jnp.asarray((np.arange(batch) + i * batch) % n_rows, dtype=jnp.int32)
         for i in range(warmup + iters)
     ]
     valid = jnp.ones((batch,), jnp.float32)
+    metrics = None
     for i in range(warmup):
         state, metrics = step(state, features, labels, idx_pool[i], valid, key)
     # sync via a VALUE FETCH, not block_until_ready: on the tunneled axon
@@ -96,6 +104,30 @@ def _time_steps(state, step, features, labels, batch, n_rows, warmup, iters):
     return batch * iters / dt, state
 
 
+def run_one(frontend: str, batch: int, n_rows: int, warmup: int, iters: int):
+    state, step, features, labels = _build(frontend, batch, n_rows)
+    cps, _ = _time_steps(
+        state, step, features, labels, batch, n_rows, warmup, iters
+    )
+    return cps
+
+
+def _pallas_subprocess(batch: int, timeout_s: int = 900) -> float | None:
+    """Time the Pallas-frontend variant in a child process (hang-safe)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one",
+             "logmel_pallas", str(batch)],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in (proc.stdout or "").splitlines():
+        if line.startswith("ONE_RESULT "):
+            return float(line.split()[1])
+    return None
+
+
 def main():
     from multimodal_emotion_detection_tpu.utils.runtime import setup_jax
 
@@ -106,28 +138,27 @@ def main():
     n_rows = 256
     platform = jax.default_backend()
 
-    state, step, features, labels = _build(
-        frontend=True, batch=batch, n_rows=n_rows
-    )
-    fast_cps, _ = _time_steps(
-        state, step, features, labels, batch, n_rows, warmup=3, iters=30
-    )
-    del state, step
+    fast_xla = run_one("logmel_xla", batch, n_rows, warmup=3, iters=30)
+    fast_pallas = _pallas_subprocess(batch)
+    base_cps = run_one("raw", batch, n_rows, warmup=2, iters=6)
 
-    base_state, base_step, features, labels = _build(
-        frontend=False, batch=batch, n_rows=n_rows
-    )
-    base_cps, _ = _time_steps(
-        base_state, base_step, features, labels, batch, n_rows,
-        warmup=2, iters=6,
-    )
+    candidates = {"logmel_xla": fast_xla}
+    if fast_pallas is not None:
+        candidates["logmel_pallas"] = fast_pallas
+    best_name = max(candidates, key=candidates.get)
+    value = candidates[best_name]
 
     result = {
         "metric": "ravdess_train_clips_per_sec_per_chip",
-        "value": round(fast_cps, 2),
+        "value": round(value, 2),
         "unit": "clips/s/chip",
-        "vs_baseline": round(fast_cps / base_cps, 2),
+        "vs_baseline": round(value / base_cps, 2),
         "baseline_raw_waveform_clips_per_sec": round(base_cps, 2),
+        "frontend": best_name,
+        "logmel_xla_clips_per_sec": round(fast_xla, 2),
+        "logmel_pallas_clips_per_sec": (
+            round(fast_pallas, 2) if fast_pallas is not None else None
+        ),
         "platform": platform,
         "batch_size": batch,
     }
@@ -135,4 +166,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        from multimodal_emotion_detection_tpu.utils.runtime import setup_jax
+
+        setup_jax()
+        cps = run_one(sys.argv[2], int(sys.argv[3]), 256, warmup=3, iters=30)
+        print("ONE_RESULT", cps)
+    else:
+        main()

@@ -1,0 +1,160 @@
+"""Inference / robustness-evaluation CLI (the serving path).
+
+    python -m multimodal_emotion_detection_tpu.tools.predict \
+        --checkpoint outputs/<run>/best.ckpt [--split test] \
+        [--mc-dropout 10] [--missing keep_idx,keep_idx] [--out preds/] \
+        [overrides...]
+
+Loads a checkpoint, runs the jitted inference forward over a split
+(SURVEY.md §3.3's serving path) and writes ``logits.npy`` /
+``predictions.npy`` / ``metrics.json``.  Options:
+
+* ``--mc-dropout S``: vmapped MC-dropout — also writes ``uncertainty.npy``
+  (the reference's MCDropoutUncertainty wrapper, uncertainty.py:17-86,
+  which its training entry never invokes; here it is a first-class eval).
+* ``--missing i[,j]``: keep only the listed modality indices — the
+  missing-modality robustness evaluation the reference ships as an unused
+  utility (/root/reference/src/data.py:297-327).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Inference / robustness eval")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--split", default="test",
+                        choices=["train", "val", "test"])
+    parser.add_argument("--mc-dropout", type=int, default=0)
+    parser.add_argument("--missing", default=None,
+                        help="comma-separated modality indices to KEEP")
+    parser.add_argument("--out", default="./predictions")
+    parser.add_argument("overrides", nargs="*")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from multimodal_emotion_detection_tpu.config import load_config
+    from multimodal_emotion_detection_tpu.utils.runtime import setup_from_config
+
+    config = load_config(args.config, args.overrides)
+    setup_from_config(config)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multimodal_emotion_detection_tpu.data.loader import create_dataloaders
+    from multimodal_emotion_detection_tpu.data.masking import (
+        simulate_missing_modalities,
+    )
+    from multimodal_emotion_detection_tpu.models.classifier import (
+        classifier_from_config,
+    )
+    from multimodal_emotion_detection_tpu.training.checkpoints import (
+        restore_checkpoint,
+    )
+    from multimodal_emotion_detection_tpu.training.optim import build_optimizer
+    from multimodal_emotion_detection_tpu.training.steps import (
+        create_train_state,
+        make_forward_fn,
+    )
+    from multimodal_emotion_detection_tpu.uncertainty.calibration import (
+        compute_calibration_metrics,
+    )
+    from multimodal_emotion_detection_tpu.uncertainty.mc_dropout import (
+        mc_dropout_predict,
+    )
+
+    loaders = dict(zip(
+        ("train", "val", "test"),
+        create_dataloaders(
+            dataset_name=config.dataset.name,
+            data_dir=config.dataset.data_dir,
+            modalities=config.dataset.modalities,
+            batch_size=config.dataset.batch_size,
+            seed=config.seed,
+            num_samples=config.dataset.num_samples,
+            num_samples_eval=config.dataset.num_samples_eval,
+            num_classes=config.dataset.num_classes,
+            modality_dim=config.dataset.modality_dim,
+            sequence_length=config.dataset.sequence_length,
+        ),
+    ))
+    loader = loaders[args.split]
+
+    model = classifier_from_config(config)
+    tx, _ = build_optimizer(config.training, steps_per_epoch=max(1, len(loader)))
+    feats_all, labels_all = loader.device_arrays()
+    b = loader.batch_size
+    sample = {m: a[:b] for m, a in feats_all.items()}
+    template = create_train_state(
+        model, tx, sample,
+        jnp.ones((b, loader.arrays.num_modalities), jnp.float32),
+        jax.random.PRNGKey(config.seed),
+    )
+    state, meta = restore_checkpoint(Path(args.checkpoint), template)
+    print(f"Restored {args.checkpoint} (meta: {meta})")
+
+    forward = make_forward_fn(model, loader.arrays.num_modalities)
+    keep = (
+        [int(i) for i in args.missing.split(",")]
+        if args.missing is not None else None
+    )
+
+    logits_list, labels_list, unc_list = [], [], []
+    key = jax.random.PRNGKey(config.seed)
+    for features, labels, mask in loader:
+        if keep is not None:
+            features, mask = simulate_missing_modalities(features, mask, keep)
+        if args.mc_dropout > 0:
+            logits, unc = mc_dropout_predict(
+                model, state.params, state.model_state, features,
+                num_samples=args.mc_dropout, key=key,
+            )
+            unc_list.append(np.asarray(unc))
+        else:
+            logits = forward(state.params, state.model_state, features, mask)
+        valid = np.asarray(mask).max(axis=1) > 0 if keep is None else (
+            np.ones(len(np.asarray(labels)), bool)
+        )
+        logits_list.append(np.asarray(logits))
+        labels_list.append(np.asarray(labels))
+
+    logits = np.concatenate(logits_list)[: loader.num_samples]
+    labels = np.concatenate(labels_list)[: loader.num_samples]
+    preds = logits.argmax(-1)
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    np.save(out_dir / "logits.npy", logits)
+    np.save(out_dir / "predictions.npy", preds)
+    np.save(out_dir / "labels.npy", labels)
+    if unc_list:
+        np.save(out_dir / "uncertainty.npy",
+                np.concatenate(unc_list)[: loader.num_samples])
+
+    metrics = compute_calibration_metrics(
+        logits, labels, config.evaluation.num_calibration_bins
+    )
+    metrics["split"] = args.split
+    metrics["missing_pattern"] = keep
+    metrics["mc_dropout_samples"] = args.mc_dropout
+    (out_dir / "metrics.json").write_text(json.dumps(metrics, indent=2))
+    print(json.dumps(metrics, indent=2))
+    print(f"Wrote predictions to {out_dir}")
+    return metrics
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

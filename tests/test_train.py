@@ -206,3 +206,49 @@ def test_resume(tmp_path):
     train_loader2, val_loader2, _ = make_loaders(cfg2)
     t2.fit(train_loader2, val_loader2, resume=True)
     assert int(jax.device_get(t2.state.step)) == 2 * step_after
+
+
+def test_bfloat16_compute_path():
+    """compute_dtype=bfloat16 must train with finite loss (params stay f32)."""
+    cfg = tiny_config()
+    cfg.runtime.compute_dtype = "bfloat16"
+    cfg.training.max_epochs = 1
+    train_loader, val_loader, _ = make_loaders(cfg)
+    trainer = Trainer(cfg, save_dir="/tmp/bf16_test")
+    trainer.fit(train_loader, val_loader)
+    row = trainer.history[-1]
+    assert np.isfinite(row["train/loss"]) and np.isfinite(row["val/loss"])
+    # parameters remain float32 master copies
+    leaves = jax.tree_util.tree_leaves(trainer.state.params)
+    assert all(leaf.dtype == jnp.float32 for leaf in leaves)
+
+
+def test_logmel_frontend_trains():
+    """Classifier with the log-mel frontend (XLA path) end to end."""
+    cfg = tiny_config()
+    cfg.dataset.modalities = ["audio"]
+    cfg.dataset.sequence_length = 1  # unused for audio shape below
+    cfg.model.encoders = {
+        "audio": {"type": "sequence", "encoder_type": "gru",
+                  "hidden_dim": 16, "num_layers": 1},
+    }
+    cfg.model.frontend.audio = "logmel"
+    cfg.model.frontend.use_pallas = False
+    cfg.training.max_epochs = 1
+
+    from multimodal_emotion_detection_tpu.data.dataset import MultimodalArrays
+    from multimodal_emotion_detection_tpu.data.loader import MultimodalLoader
+
+    rng = np.random.RandomState(0)
+    def loader(split_seed):
+        arrays = MultimodalArrays(
+            features={"audio": rng.randn(24, 4096, 1).astype(np.float32)},
+            labels=rng.randint(0, 4, 24).astype(np.int32),
+            modalities=["audio"],
+        )
+        return MultimodalLoader(arrays, batch_size=8, shuffle=True,
+                                seed=split_seed)
+
+    trainer = Trainer(cfg, save_dir="/tmp/logmel_train_test")
+    trainer.fit(loader(0), loader(1))
+    assert np.isfinite(trainer.history[-1]["val/loss"])
