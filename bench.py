@@ -128,9 +128,30 @@ def _pallas_subprocess(batch: int, timeout_s: int = 900) -> float | None:
     return None
 
 
+def _install_watchdog(seconds: int) -> None:
+    """The tunneled TPU backend can wedge (observed: executions never
+    complete and value fetches block forever).  Emit an honest failure
+    JSON instead of hanging the driver."""
+    import signal
+
+    def on_alarm(signum, frame):
+        print(json.dumps({
+            "metric": "ravdess_train_clips_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "clips/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"TPU backend unresponsive for {seconds}s (watchdog)",
+        }))
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+
+
 def main():
     from multimodal_emotion_detection_tpu.utils.runtime import setup_jax
 
+    _install_watchdog(int(os.environ.get("BENCH_TIMEOUT_S", "2700")))
     setup_jax()
     import jax
 
