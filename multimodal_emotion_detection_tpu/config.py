@@ -79,15 +79,16 @@ class FrontendConfig:
     any recurrence, which is where the throughput target is won.
     """
 
-    audio: str = "raw"  # 'raw' | 'logmel'
+    audio: str = "raw"  # 'raw' | 'logmel' | 'mfcc'
     sample_rate: int = 16000
     n_fft: int = 512
-    hop_length: int = 160
+    hop_length: int = 128  # = TPU lane width (Pallas path requires 128)
     win_length: int = 400
     n_mels: int = 64
     fmin: float = 0.0
     fmax: Optional[float] = None  # None -> sample_rate / 2
     log_epsilon: float = 1e-6
+    n_mfcc: int = 40  # only for audio='mfcc'
     use_pallas: bool = True  # fall back to pure-XLA path off-TPU
 
 

@@ -32,6 +32,7 @@ from multimodal_emotion_detection_tpu.models.fusion import build_fusion_model
 from multimodal_emotion_detection_tpu.ops.logmel import (
     LogMelParams,
     log_mel_spectrogram,
+    mfcc,
 )
 
 
@@ -47,6 +48,8 @@ class MultimodalClassifier(nn.Module):
     train_fusion: str = "concat"  # 'concat' | 'library'
     use_modality_mask: bool = False
     audio_frontend: Optional[LogMelParams] = None  # None -> raw waveform
+    frontend_kind: str = "logmel"  # 'logmel' | 'mfcc' (when frontend set)
+    frontend_n_mfcc: int = 40
     frontend_use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -55,8 +58,12 @@ class MultimodalClassifier(nn.Module):
         for modality in self.modalities:
             cfg = dict(self.encoder_configs.get(modality, {}))
             if modality == "audio" and self.audio_frontend is not None:
-                # frontend output is (B, F, n_mels): override encoder input
-                cfg["input_dim"] = self.audio_frontend.n_mels
+                # frontend output width overrides the encoder input dim
+                cfg["input_dim"] = (
+                    self.frontend_n_mfcc
+                    if self.frontend_kind == "mfcc"
+                    else self.audio_frontend.n_mels
+                )
             encoders[modality] = build_encoder(
                 modality=modality,
                 input_dim=cfg.get("input_dim", 64),
@@ -84,6 +91,13 @@ class MultimodalClassifier(nn.Module):
         self, modality: str, features: jnp.ndarray
     ) -> jnp.ndarray:
         if modality == "audio" and self.audio_frontend is not None:
+            if self.frontend_kind == "mfcc":
+                return mfcc(
+                    features,
+                    self.audio_frontend,
+                    n_mfcc=self.frontend_n_mfcc,
+                    use_pallas=self.frontend_use_pallas,
+                )
             return log_mel_spectrogram(
                 features,
                 self.audio_frontend,
@@ -158,7 +172,7 @@ def classifier_from_config(config) -> MultimodalClassifier:
     """Build the flagship model from a ``Config`` (see config.py)."""
     fe = config.model.frontend
     frontend = None
-    if fe.audio == "logmel":
+    if fe.audio in ("logmel", "mfcc"):
         frontend = LogMelParams(
             sample_rate=fe.sample_rate,
             n_fft=fe.n_fft,
@@ -184,6 +198,8 @@ def classifier_from_config(config) -> MultimodalClassifier:
         train_fusion=config.model.train_fusion,
         use_modality_mask=config.model.use_modality_mask,
         audio_frontend=frontend,
+        frontend_kind=fe.audio if fe.audio != "raw" else "logmel",
+        frontend_n_mfcc=fe.n_mfcc,
         frontend_use_pallas=fe.use_pallas,
         dtype=dtype,
     )

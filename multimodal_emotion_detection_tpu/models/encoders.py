@@ -120,6 +120,7 @@ class SequenceEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     scan_unroll: int = 2
     max_len: int = 4096
+    attention_block: int = 512  # local-attention block size past max_len
 
     @nn.compact
     def __call__(
@@ -172,17 +173,48 @@ class SequenceEncoder(nn.Module):
             return nn.Dense(self.output_dim, dtype=self.dtype, name="projection")(h)
 
         if self.encoder_type == "transformer":
-            seq_len = x.shape[1]
-            h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="input_proj")(x)
-            positions = jnp.clip(jnp.arange(seq_len), 0, self.max_len - 1)
-            pos_emb = nn.Embed(self.max_len, self.hidden_dim, dtype=self.dtype,
-                               name="pos_embedding")(positions)
-            h = h + pos_emb[None, :, :]
+            batch, seq_len = x.shape[0], x.shape[1]
             valid = None
             if lengths is not None:
                 valid = (
                     jnp.arange(seq_len)[None, :] < lengths[:, None]
                 )  # (B, T) True=valid
+
+            # O(T^2) attention is impossible at raw-waveform lengths (the
+            # reference would OOM the same way).  Past max_len, attend in
+            # local blocks folded into the batch axis — linear in T, fully
+            # MXU-parallel — then pool over the whole sequence
+            # (SURVEY.md §5 long-context row: "block it into chunks").
+            blockwise = seq_len > self.max_len
+            if blockwise:
+                block = self.attention_block
+                pad = (-seq_len) % block
+                if valid is None:
+                    valid = jnp.ones((batch, seq_len), dtype=bool)
+                x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+                valid = jnp.pad(valid, ((0, 0), (0, pad)))
+                t_pad = seq_len + pad
+                positions = jnp.clip(jnp.arange(t_pad), 0, self.max_len - 1)
+            else:
+                positions = jnp.clip(jnp.arange(seq_len), 0, self.max_len - 1)
+
+            h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="input_proj")(x)
+            pos_emb = nn.Embed(self.max_len, self.hidden_dim, dtype=self.dtype,
+                               name="pos_embedding")(positions)
+            h = h + pos_emb[None, :, :]
+
+            if blockwise:
+                nb = h.shape[1] // self.attention_block
+                h = h.reshape(batch * nb, self.attention_block, self.hidden_dim)
+                block_valid = valid.reshape(batch * nb, self.attention_block)
+                # fully-padded blocks would softmax over nothing: keep one
+                # sentinel key valid (their outputs are masked out in pooling)
+                block_valid = block_valid.at[:, 0].set(
+                    block_valid[:, 0] | ~block_valid.any(axis=1)
+                )
+            else:
+                block_valid = valid
+
             for i in range(self.num_layers):
                 h = TransformerBlock(
                     hidden_dim=self.hidden_dim,
@@ -190,7 +222,10 @@ class SequenceEncoder(nn.Module):
                     dropout=self.dropout,
                     dtype=self.dtype,
                     name=f"block_{i}",
-                )(h, key_padding_mask=valid, deterministic=deterministic)
+                )(h, key_padding_mask=block_valid, deterministic=deterministic)
+
+            if blockwise:
+                h = h.reshape(batch, -1, self.hidden_dim)
             pooled = masked_mean(h, valid, axis=1)
             return nn.Dense(self.output_dim, dtype=self.dtype, name="projection")(
                 pooled

@@ -303,3 +303,37 @@ def log_mel_spectrogram(
     if use_pallas and (on_tpu or interpret) and _pallas_supported(params, t):
         return logmel_pallas(wave, params, interpret=interpret)
     return logmel_frames(wave, params)
+
+
+# ---------------------------------------------------------------------------
+# MFCC (DCT-II over log-mel)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _dct_matrix_np(n_mels: int, n_mfcc: int) -> np.ndarray:
+    """Orthonormal DCT-II basis, (n_mels, n_mfcc) — librosa/scipy norm='ortho'."""
+    n = np.arange(n_mels)[:, None]
+    k = np.arange(n_mfcc)[None, :]
+    basis = np.cos(np.pi * (2 * n + 1) * k / (2 * n_mels))
+    basis *= np.sqrt(2.0 / n_mels)
+    basis[:, 0] *= 1.0 / np.sqrt(2.0)
+    return basis.astype(np.float32)
+
+
+def mfcc(
+    wave: jnp.ndarray,
+    params: LogMelParams,
+    n_mfcc: int = 40,
+    use_pallas: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """MFCC frontend: log-mel (fused kernel) -> orthonormal DCT-II matmul.
+
+    (B, T[,1]) -> (B, F, n_mfcc).  The DCT is one extra (n_mels, n_mfcc)
+    matmul XLA fuses onto the MXU after the kernel.
+    """
+    logm = log_mel_spectrogram(wave, params, use_pallas=use_pallas,
+                               interpret=interpret)
+    dct = jnp.asarray(_dct_matrix_np(params.n_mels, n_mfcc))
+    return jnp.matmul(logm, dct, precision=jax.lax.Precision.HIGHEST)

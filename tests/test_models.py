@@ -290,3 +290,23 @@ def test_rnn_chunked_remat_matches_full_scan():
             bool(jnp.isfinite(leaf).all())
             for leaf in jax.tree_util.tree_leaves(g)
         )
+
+
+def test_transformer_blockwise_long_sequence():
+    """T > max_len triggers block-local attention; short-T semantics keep."""
+    enc = SequenceEncoder(input_dim=D, hidden_dim=16, output_dim=OUT,
+                          encoder_type="transformer", num_layers=1,
+                          max_len=32, attention_block=16)
+    x = jax.random.normal(KEY, (2, 70, D))  # 70 > 32 -> blockwise, pads to 80
+    variables = _init(enc, x)
+    out = enc.apply(variables, x)
+    assert out.shape == (2, OUT)
+    assert bool(jnp.isfinite(out).all())
+    # variable lengths still honoured
+    out_len = enc.apply(variables, x, jnp.array([70, 20]))
+    assert bool(jnp.isfinite(out_len).all())
+    # row with junk beyond its length must be unaffected
+    x_junk = x.at[1, 20:].set(55.0)
+    out_junk = enc.apply(variables, x_junk, jnp.array([70, 20]))
+    np.testing.assert_allclose(np.asarray(out_len[1]), np.asarray(out_junk[1]),
+                               rtol=1e-4, atol=1e-5)

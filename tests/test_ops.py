@@ -93,3 +93,22 @@ def test_bgr_to_gray_matches_cv2():
     ours = np.asarray(bgr_to_gray(jnp.asarray(img)))
     ref = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_mfcc_shapes_and_dct():
+    from multimodal_emotion_detection_tpu.ops.logmel import (
+        _dct_matrix_np,
+        mfcc,
+    )
+
+    p = LogMelParams(n_fft=256, hop_length=128, win_length=256, n_mels=16)
+    wave = jax.random.normal(jax.random.PRNGKey(0), (2, 2048))
+    out = mfcc(wave, p, n_mfcc=8, use_pallas=False)
+    assert out.shape == (2, p.num_frames(2048), 8)
+    # orthonormal DCT-II: columns orthonormal
+    d = _dct_matrix_np(16, 16)
+    np.testing.assert_allclose(d.T @ d, np.eye(16), atol=1e-5)
+    # consistency: mfcc == logmel @ dct
+    logm = logmel_frames(wave, p)
+    expected = np.asarray(logm) @ _dct_matrix_np(16, 8)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-4)
