@@ -1,0 +1,241 @@
+"""Vmapped hyperparameter sweep: G grid members train in ONE XLA program.
+
+The reference's sweep is 12 *sequential* SLURM jobs (sweep.sh:78-179).
+SURVEY.md §5 names the TPU-native alternative: "grid sweeps become ...
+one-config-per-chip vmap".  Here the learning-rate axis of the grid is
+vmapped: G parameter sets + G Adam states + G learning rates stack along a
+leading member axis, and a single jitted step trains all members on the
+same batch — G small models become one big batched matmul workload that
+actually fills the MXU.
+
+Members share the data pipeline and the PRNG stream (same batch order and
+dropout draws per member — deterministic and directly comparable; a
+single-run trajectory with the same seed is reproduced exactly, tested).
+
+AdamW is decomposed as clip -> scale_by_adam -> (+ wd * p) -> * -lr with
+the lr applied as a *traced per-member scalar*, because optax transforms
+bake the lr in as a python float.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import core, struct
+
+from multimodal_emotion_detection_tpu.data.masking import modality_dropout_mask
+
+
+class SweepState(struct.PyTreeNode):
+    step: jnp.ndarray  # () shared
+    params: any  # leading member axis on every leaf
+    opt_state: any  # leading member axis
+    lrs: jnp.ndarray  # (G,)
+
+
+def _adam_core(clip_norm: float) -> optax.GradientTransformation:
+    parts = []
+    if clip_norm and clip_norm > 0:
+        parts.append(optax.clip_by_global_norm(clip_norm))
+    parts.append(optax.scale_by_adam())
+    return optax.chain(*parts)
+
+
+def init_sweep_state(
+    model,
+    sample_features: Dict[str, jnp.ndarray],
+    sample_mask: jnp.ndarray,
+    lrs: Sequence[float],
+    clip_norm: float,
+    seed: int,
+) -> SweepState:
+    g = len(lrs)
+    core_tx = _adam_core(clip_norm)
+
+    @jax.jit
+    def init_one(rng):
+        variables = model.init(rng, sample_features, sample_mask)
+        params = dict(variables)["params"]
+        return params, core_tx.init(params)
+
+    # distinct init per member (fold_in member index), stacked
+    keys = [jax.random.fold_in(jax.random.PRNGKey(seed), i) for i in range(g)]
+    inits = [init_one(k) for k in keys]
+    params = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                    *[p for p, _ in inits])
+    opt_states = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                        *[o for _, o in inits])
+    return SweepState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=opt_states,
+        lrs=jnp.asarray(list(lrs), jnp.float32),
+    )
+
+
+def make_vmapped_train_step(
+    model,
+    num_modalities: int,
+    modality_dropout: float,
+    clip_norm: float,
+    weight_decay: float,
+) -> Callable:
+    """(SweepState, features, labels, idx, valid, key) -> (state, metrics)
+
+    metrics leaves have a leading (G,) member axis.
+    """
+    core_tx = _adam_core(clip_norm)
+
+    def member_step(params, opt_state, lr, batch, batch_labels, mask,
+                    dropout_key, valid):
+        def loss_fn(p):
+            logits = model.apply(
+                {"params": p}, batch, mask,
+                deterministic=False, rngs={"dropout": dropout_key},
+            )
+            if isinstance(logits, tuple):
+                logits = logits[0]
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch_labels
+            )
+            denom = jnp.clip(valid.sum(), min=1.0)
+            return (ce * valid).sum() / denom, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        direction, new_opt_state = core_tx.update(grads, opt_state, params)
+        # AdamW: p <- p - lr * (adam_dir + wd * p), lr traced per member
+        new_params = jax.tree_util.tree_map(
+            lambda p, d: p - lr * (d + weight_decay * p), params, direction
+        )
+        preds = jnp.argmax(logits, axis=-1)
+        denom = jnp.clip(valid.sum(), min=1.0)
+        acc = ((preds == batch_labels) * valid).sum() / denom
+        return new_params, new_opt_state, {"loss": loss, "acc": acc}
+
+    def step_fn(state: SweepState, features, labels, idx, valid, key):
+        batch = {m: jnp.take(a, idx, axis=0) for m, a in features.items()}
+        batch_labels = jnp.take(labels, idx, axis=0)
+        b = idx.shape[0]
+        step_key = jax.random.fold_in(key, state.step)
+        mask_key, dropout_key = jax.random.split(step_key)
+        mask = modality_dropout_mask(mask_key, b, num_modalities,
+                                     modality_dropout)
+        mask = mask * valid[:, None]
+
+        new_params, new_opt, metrics = jax.vmap(
+            member_step, in_axes=(0, 0, 0, None, None, None, None, None)
+        )(state.params, state.opt_state, state.lrs, batch, batch_labels,
+          mask, dropout_key, valid)
+        return (
+            state.replace(step=state.step + 1, params=new_params,
+                          opt_state=new_opt),
+            metrics,
+        )
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_vmapped_eval_step(model, num_modalities: int) -> Callable:
+    def step_fn(params, features, labels, idx, valid):
+        batch = {m: jnp.take(a, idx, axis=0) for m, a in features.items()}
+        batch_labels = jnp.take(labels, idx, axis=0)
+        b = idx.shape[0]
+        mask = jnp.ones((b, num_modalities), jnp.float32) * valid[:, None]
+
+        def member(p):
+            logits = model.apply({"params": p}, batch, mask,
+                                 deterministic=True)
+            if isinstance(logits, tuple):
+                logits = logits[0]
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch_labels
+            )
+            preds = jnp.argmax(logits, axis=-1)
+            return {
+                "loss_sum": (ce * valid).sum(),
+                "correct_sum": ((preds == batch_labels) * valid).sum(),
+                "count": valid.sum(),
+            }
+
+        return jax.vmap(member)(params)
+
+    return jax.jit(step_fn)
+
+
+def member_params(state: SweepState, i: int):
+    """Unstack one member's parameters (for per-member checkpoints)."""
+    return jax.tree_util.tree_map(lambda x: x[i], state.params)
+
+
+def vmapped_lr_sweep(
+    model,
+    train_loader,
+    val_loader,
+    lrs: Sequence[float],
+    epochs: int,
+    modality_dropout: float = 0.0,
+    clip_norm: float = 1.0,
+    weight_decay: float = 1e-4,
+    seed: int = 42,
+) -> List[Dict[str, float]]:
+    """Train all lrs at once; returns per-member best-val summaries.
+
+    (No per-member early stopping — members run the full epoch budget; the
+    per-epoch val curve is returned so callers can pick each member's best.)
+    """
+    feats, labels = train_loader.device_arrays()
+    vfeats, vlabels = val_loader.device_arrays()
+    m = train_loader.arrays.num_modalities
+    b = train_loader.batch_size
+    sample = {k: a[:b] for k, a in feats.items()}
+    state = init_sweep_state(
+        model, sample, jnp.ones((b, m), jnp.float32), lrs, clip_norm, seed
+    )
+    train_step = make_vmapped_train_step(
+        model, m, modality_dropout, clip_norm, weight_decay
+    )
+    eval_step = make_vmapped_eval_step(model, m)
+    key = jax.random.PRNGKey(seed)
+
+    g = len(lrs)
+    history = []  # per epoch: (G,) val loss / acc
+    for epoch in range(epochs):
+        idx_all = train_loader.epoch_batch_indices(epoch)
+        valid_all = train_loader.epoch_batch_valid()
+        for bi in range(idx_all.shape[0]):
+            state, _ = train_step(
+                state, feats, labels,
+                jnp.asarray(idx_all[bi]), jnp.asarray(valid_all[bi]), key,
+            )
+        vidx = val_loader.epoch_batch_indices(0)
+        vvalid = val_loader.epoch_batch_valid()
+        totals = None
+        for bi in range(vidx.shape[0]):
+            sums = eval_step(state.params, vfeats, vlabels,
+                             jnp.asarray(vidx[bi]), jnp.asarray(vvalid[bi]))
+            totals = sums if totals is None else jax.tree_util.tree_map(
+                jnp.add, totals, sums
+            )
+        totals = jax.device_get(totals)
+        history.append({
+            "val_loss": totals["loss_sum"] / np.maximum(totals["count"], 1),
+            "val_acc": totals["correct_sum"] / np.maximum(totals["count"], 1),
+        })
+
+    results = []
+    for i, lr in enumerate(lrs):
+        curve = [float(h["val_loss"][i]) for h in history]
+        best_epoch = int(np.argmin(curve))
+        results.append({
+            "learning_rate": float(lr),
+            "best_val_loss": curve[best_epoch],
+            "best_epoch": best_epoch,
+            "final_val_acc": float(history[-1]["val_acc"][i]),
+        })
+    return results

@@ -136,3 +136,55 @@ def test_sharded_step_matches_single_device():
     multi = trajectory(sharded=True)
     np.testing.assert_allclose(single, multi, rtol=2e-4, atol=2e-5)
     assert single[-1] < single[0]  # it actually learns
+
+
+def test_vmapped_lr_sweep_matches_reference_member():
+    """G lrs in one XLA program; a member must reproduce a standalone run."""
+    from multimodal_emotion_detection_tpu.data.loader import MultimodalLoader
+    from multimodal_emotion_detection_tpu.data.synthetic import (
+        synthetic_arrays,
+    )
+    from multimodal_emotion_detection_tpu.models.classifier import (
+        MultimodalClassifier,
+    )
+    from multimodal_emotion_detection_tpu.parallel.vmap_sweep import (
+        init_sweep_state,
+        make_vmapped_train_step,
+        member_params,
+        vmapped_lr_sweep,
+    )
+
+    model = MultimodalClassifier(
+        modalities=("a",),
+        encoder_configs={"a": {"type": "mlp", "input_dim": 8,
+                               "hidden_dim": 16, "num_layers": 1,
+                               "batch_norm": False, "dropout": 0.0}},
+        num_classes=4, output_dim=8, hidden_dim=16, dropout=0.0,
+    )
+    arrays = synthetic_arrays(32, 4, {"a": 8}, 5, "train", seed=1)
+    # rank-2 features for the mlp: take t=0 slice
+    arrays.features["a"] = arrays.features["a"][:, 0, :]
+    train = MultimodalLoader(arrays, batch_size=16, shuffle=True, seed=3)
+    val = MultimodalLoader(arrays, batch_size=16, shuffle=False, seed=3)
+
+    lrs = [1e-3, 1e-2]
+    results = vmapped_lr_sweep(model, train, val, lrs, epochs=2,
+                               weight_decay=1e-4, seed=5)
+    assert len(results) == 2
+    assert all(np.isfinite(r["best_val_loss"]) for r in results)
+
+    # member 0 must reproduce a standalone single-member sweep exactly
+    # (same member index -> same init key, same shared batch/dropout keys)
+    solo = vmapped_lr_sweep(model, train, val, [1e-3], epochs=2,
+                            weight_decay=1e-4, seed=5)
+    assert solo[0]["best_val_loss"] == pytest.approx(
+        results[0]["best_val_loss"], rel=1e-5
+    )
+    # and the whole sweep is deterministic
+    again = vmapped_lr_sweep(model, train, val, lrs, epochs=2,
+                             weight_decay=1e-4, seed=5)
+    for r1, r2 in zip(results, again):
+        assert r1["best_val_loss"] == pytest.approx(r2["best_val_loss"],
+                                                    rel=1e-6)
+    # higher lr should move loss more than tiny lr on this easy setup
+    assert results[0]["best_val_loss"] != results[1]["best_val_loss"]
