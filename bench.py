@@ -159,9 +159,12 @@ def main():
     n_rows = 256
     platform = jax.default_backend()
 
+    # order matters: the Pallas probe runs LAST in its own process — a
+    # faulting kernel has wedged the tunneled chip for hours before, and
+    # the safe measurements must already be banked by then
     fast_xla = run_one("logmel_xla", batch, n_rows, warmup=3, iters=30)
-    fast_pallas = _pallas_subprocess(batch)
     base_cps = run_one("raw", batch, n_rows, warmup=2, iters=6)
+    fast_pallas = _pallas_subprocess(batch)
 
     candidates = {"logmel_xla": fast_xla}
     if fast_pallas is not None:
