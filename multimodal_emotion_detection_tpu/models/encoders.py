@@ -23,7 +23,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from multimodal_emotion_detection_tpu.models.recurrent import StackedRNN
+from multimodal_emotion_detection_tpu.models.recurrent import (
+    FusedStackedRNN,
+    StackedRNN,
+)
 from multimodal_emotion_detection_tpu.models.resnet import ResNet
 
 
@@ -119,6 +122,7 @@ class SequenceEncoder(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     scan_unroll: int = 2
+    fused: bool = True  # all-layers-in-one-scan for short sequences
     max_len: int = 4096
     attention_block: int = 512  # local-attention block size past max_len
 
@@ -138,7 +142,17 @@ class SequenceEncoder(nn.Module):
             # Variable lengths: the torch path packs sequences; here we scan
             # the full padded length and gather the hidden state at t=len-1
             # per row (same result, static shapes).
-            outputs, h_last = StackedRNN(
+            #
+            # Short sequences use the fused all-layers-in-one-scan module
+            # (identical parameter tree + numerics, about half the scan
+            # trips); long sequences need the layerwise chunked-remat path.
+            use_fused = (
+                self.fused
+                and self.num_layers > 1
+                and x.shape[1] <= 2048
+            )
+            rnn_cls = FusedStackedRNN if use_fused else StackedRNN
+            outputs, h_last = rnn_cls(
                 hidden_dim=self.hidden_dim,
                 num_layers=self.num_layers,
                 cell_type=self.encoder_type,
@@ -430,6 +444,7 @@ def build_encoder(
             encoder_type=cfg.pop("encoder_type", "lstm"),
             dropout=cfg.pop("dropout", 0.1),
             scan_unroll=cfg.pop("scan_unroll", 2),
+            fused=cfg.pop("fused", True),
             dtype=dtype,
             name=f"{modality}_encoder",
         )

@@ -225,3 +225,152 @@ class StackedRNN(nn.Module):
             if self.dropout > 0 and layer_idx < self.num_layers - 1:
                 x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
         return x, h_final
+
+
+class _CellParams(nn.Module):
+    """Parameter holder producing the same scope layout as LSTMLayer /
+    GRULayer so FusedStackedRNN shares checkpoints with StackedRNN."""
+
+    in_dim: int
+    hidden_dim: int
+    gates: int
+    lstm: bool
+
+    @nn.compact
+    def __call__(self):
+        k = 1.0 / jnp.sqrt(self.hidden_dim)
+        out = {
+            "w_ih": self.param("w_ih", _uniform_init(k),
+                               (self.in_dim, self.gates * self.hidden_dim)),
+            "w_hh": self.param("w_hh", _uniform_init(k),
+                               (self.hidden_dim, self.gates * self.hidden_dim)),
+        }
+        if self.lstm:
+            out["b"] = self.param("b", _uniform_init(k),
+                                  (self.gates * self.hidden_dim,))
+        else:
+            out["b_ih"] = self.param("b_ih", _uniform_init(k),
+                                     (self.gates * self.hidden_dim,))
+            out["b_hh"] = self.param("b_hh", _uniform_init(k),
+                                     (self.gates * self.hidden_dim,))
+        return out
+
+
+class FusedStackedRNN(nn.Module):
+    """All layers advance inside ONE `lax.scan` step.
+
+    The layer-by-layer form runs `num_layers` separate scans and
+    materializes each layer's (B, T, H) output stream; at RAVDESS sizes the
+    step is scan-*overhead* bound (~4% MXU utilization measured), so
+    halving the number of scan trips and keeping the inter-layer
+    activation in registers is the dominant lever.  Layer 0's input
+    projection is still hoisted (one big MXU matmul over all timesteps);
+    deeper layers project their input inside the step, where it fuses with
+    the hh matmul.
+
+    Inter-layer dropout keeps torch's exact semantics (independent mask
+    per element per timestep) by precomputing all masks as (L-1, T, B, H)
+    scan inputs.
+
+    Numerically identical to StackedRNN (same parameter tree, tested).
+    """
+
+    hidden_dim: int
+    num_layers: int = 2
+    cell_type: str = "lstm"  # 'lstm' | 'gru'
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    unroll: int = 4
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        batch, t_len, in_dim = x.shape
+        h_dim = self.hidden_dim
+        gates = 4 if self.cell_type == "lstm" else 3
+        k = 1.0 / jnp.sqrt(h_dim)
+        dtype = self.dtype
+
+        # parameter tree matches StackedRNN layer-for-layer (checkpoint
+        # compatible: fused/layerwise are toggleable on the same weights)
+        layers = []
+        for li in range(self.num_layers):
+            d_in = in_dim if li == 0 else h_dim
+            holder = _CellParams(
+                in_dim=d_in, hidden_dim=h_dim, gates=gates,
+                lstm=self.cell_type == "lstm", name=f"layer_{li}",
+            )
+            layers.append(
+                {key: value.astype(dtype) for key, value in holder().items()}
+            )
+
+        x = x.astype(dtype)
+        x_tm = jnp.swapaxes(x, 0, 1)  # (T, B, D)
+        if self.cell_type == "lstm":
+            ih0 = x_tm @ layers[0]["w_ih"] + layers[0]["b"]
+        else:
+            ih0 = x_tm @ layers[0]["w_ih"] + layers[0]["b_ih"]
+
+        use_dropout = (
+            self.dropout > 0 and not deterministic and self.num_layers > 1
+        )
+        if use_dropout:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(
+                rng, 1.0 - self.dropout,
+                (t_len, self.num_layers - 1, batch, h_dim),
+            ).astype(dtype) / (1.0 - self.dropout)
+        else:
+            keep = jnp.ones((t_len, 0, batch, h_dim), dtype)
+
+        def gru_cell(h, ih_t, layer):
+            hh = h @ layer["w_hh"] + layer["b_hh"]
+            xr, xz, xn = jnp.split(ih_t, 3, axis=-1)
+            hr, hz, hn = jnp.split(hh, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            return (1.0 - z) * n + z * h
+
+        def step(carry, inp):
+            ih0_t, keep_t = inp
+            new_carry = []
+            inp_t = None
+            for li, layer in enumerate(layers):
+                if self.cell_type == "lstm":
+                    h, c = carry[li]
+                    gates_t = (
+                        ih0_t if li == 0
+                        else inp_t @ layer["w_ih"] + layer["b"]
+                    ) + h @ layer["w_hh"]
+                    h, c = _lstm_cell((h, c), gates_t)
+                    new_carry.append((h, c))
+                else:
+                    h = carry[li]
+                    ih_t = (
+                        ih0_t if li == 0
+                        else inp_t @ layer["w_ih"] + layer["b_ih"]
+                    )
+                    h = gru_cell(h, ih_t, layer)
+                    new_carry.append(h)
+                out = h
+                if li < self.num_layers - 1 and use_dropout:
+                    out = out * keep_t[li]
+                inp_t = out
+            return tuple(new_carry), inp_t
+
+        if self.cell_type == "lstm":
+            init = tuple(
+                (jnp.zeros((batch, h_dim), dtype),
+                 jnp.zeros((batch, h_dim), dtype))
+                for _ in range(self.num_layers)
+            )
+        else:
+            init = tuple(
+                jnp.zeros((batch, h_dim), dtype)
+                for _ in range(self.num_layers)
+            )
+        carry, ys = jax.lax.scan(step, init, (ih0, keep), unroll=self.unroll)
+        h_final = carry[-1][0] if self.cell_type == "lstm" else carry[-1]
+        return jnp.swapaxes(ys, 0, 1), h_final

@@ -310,3 +310,25 @@ def test_transformer_blockwise_long_sequence():
     out_junk = enc.apply(variables, x_junk, jnp.array([70, 20]))
     np.testing.assert_allclose(np.asarray(out_len[1]), np.asarray(out_junk[1]),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("cell", ["lstm", "gru"])
+def test_fused_stacked_rnn_matches_layerwise(cell):
+    """FusedStackedRNN == StackedRNN with the same parameter tree."""
+    from multimodal_emotion_detection_tpu.models.recurrent import (
+        FusedStackedRNN,
+        StackedRNN,
+    )
+
+    x = jax.random.normal(KEY, (3, 15, 6))
+    ref = StackedRNN(hidden_dim=10, num_layers=2, cell_type=cell)
+    variables = jax.jit(lambda k: ref.init(k, x))(KEY)
+    ys_ref, h_ref = ref.apply(variables, x)
+
+    fused = FusedStackedRNN(hidden_dim=10, num_layers=2, cell_type=cell)
+    # same parameter names -> same tree (nested under layer_i)
+    ys_f, h_f = fused.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(ys_f), np.asarray(ys_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-6)
