@@ -252,3 +252,24 @@ def test_logmel_frontend_trains():
     trainer = Trainer(cfg, save_dir="/tmp/logmel_train_test")
     trainer.fit(loader(0), loader(1))
     assert np.isfinite(trainer.history[-1]["val/loss"])
+
+
+def test_reference_invariant_dropout_knobs_are_inert():
+    """SURVEY.md §6 invariant: with the mask-unused concat head, neither
+    model.dropout nor modality_dropout may change results under a fixed
+    seed (the reference's grid runs are bitwise identical across these
+    knobs — grid_sweep_results/lr0p002_*/results.json)."""
+    def run(dropout, m_drop):
+        cfg = tiny_config()
+        cfg.model.dropout = dropout
+        cfg.training.augmentation.modality_dropout = m_drop
+        cfg.training.max_epochs = 2
+        train_loader, val_loader, _ = make_loaders(cfg)
+        trainer = Trainer(cfg, save_dir=f"/tmp/invariant_{dropout}_{m_drop}")
+        trainer.fit(train_loader, val_loader)
+        return [row["val/loss"] for row in trainer.history]
+
+    base = run(0.0, 0.0)
+    for dropout, m_drop in ((0.3, 0.0), (0.0, 0.1), (0.3, 0.1)):
+        other = run(dropout, m_drop)
+        np.testing.assert_array_equal(base, other)
