@@ -10,10 +10,13 @@ killing a client mid-operation wedges the tunneled terminal.
 from __future__ import annotations
 
 import json
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 OUT = Path(__file__).parent / "tpu_tuning.json"
 RESULTS: dict = {}

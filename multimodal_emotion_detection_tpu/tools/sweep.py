@@ -87,11 +87,58 @@ def run_sweep(
     return all_results
 
 
+def run_vmapped_lr_sweep(config, lrs, out_root="grid_sweep_results"):
+    """All learning rates in ONE jitted program (parallel/vmap_sweep.py);
+    the dropout axes stay inert on the parity path anyway (SURVEY.md §6)."""
+    from multimodal_emotion_detection_tpu.data.loader import create_dataloaders
+    from multimodal_emotion_detection_tpu.models.classifier import (
+        classifier_from_config,
+    )
+    from multimodal_emotion_detection_tpu.parallel.vmap_sweep import (
+        vmapped_lr_sweep,
+    )
+    from multimodal_emotion_detection_tpu.utils.runtime import setup_from_config
+
+    setup_from_config(config)
+    train_loader, val_loader, _ = create_dataloaders(
+        dataset_name=config.dataset.name,
+        data_dir=config.dataset.data_dir,
+        modalities=config.dataset.modalities,
+        batch_size=config.dataset.batch_size,
+        modality_dropout=config.training.augmentation.modality_dropout,
+        seed=config.seed,
+        num_samples=config.dataset.num_samples,
+        num_samples_eval=config.dataset.num_samples_eval,
+        num_classes=config.dataset.num_classes,
+        modality_dim=config.dataset.modality_dim,
+        sequence_length=config.dataset.sequence_length,
+    )
+    model = classifier_from_config(config)
+    results = vmapped_lr_sweep(
+        model, train_loader, val_loader, lrs,
+        epochs=config.training.max_epochs,
+        modality_dropout=config.training.augmentation.modality_dropout,
+        clip_norm=config.training.gradient_clip_norm,
+        weight_decay=config.training.weight_decay,
+        seed=config.seed,
+    )
+    out_dir = Path(out_root)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "vmap_sweep_results.json").write_text(
+        json.dumps(results, indent=2)
+    )
+    for r in results:
+        print(f"lr={r['learning_rate']:g}: best_val_loss="
+              f"{r['best_val_loss']:.4f} @ epoch {r['best_epoch']}")
+    return results
+
+
 def main(argv=None):
     from multimodal_emotion_detection_tpu.config import load_config
 
     argv = list(sys.argv[1:] if argv is None else argv)
     config_path, out_root = None, "grid_sweep_results"
+    vmap_lrs = None
     rest = []
     it = iter(argv)
     for a in it:
@@ -99,9 +146,13 @@ def main(argv=None):
             config_path = next(it)
         elif a == "--out":
             out_root = next(it)
+        elif a == "--vmap-lrs":
+            vmap_lrs = [float(x) for x in next(it).split(",")]
         else:
             rest.append(a)
     cfg = load_config(config_path, rest)
+    if vmap_lrs:
+        return run_vmapped_lr_sweep(cfg, vmap_lrs, out_root=out_root)
     return run_sweep(cfg, out_root=out_root, overrides=rest)
 
 

@@ -61,17 +61,34 @@ def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
 
 
 def resample(y: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase resample (Kaiser-windowed), matching librosa's quality tier."""
+    """Polyphase resample (Kaiser-windowed), matching librosa's quality tier.
+
+    Prefers the native C++ upfirdn core (native/etl_kernels.cc) when built;
+    falls back to scipy, then to linear interpolation.  Native and scipy
+    paths are numerically identical (tests/test_native.py).
+    """
     if orig_sr == target_sr:
         return y.astype(np.float32)
     g = gcd(int(orig_sr), int(target_sr))
     up, down = target_sr // g, orig_sr // g
-    try:
-        from scipy.signal import resample_poly
 
-        out = resample_poly(y.astype(np.float64), up, down, window=("kaiser", 12.9846))
-    except ImportError:  # pragma: no cover - scipy is present in this image
-        out = _naive_resample(y, orig_sr, target_sr)
+    from multimodal_emotion_detection_tpu.utils.native import (
+        resample_poly_native,
+    )
+
+    try:
+        out = resample_poly_native(y, up, down, beta=12.9846)
+    except ImportError:
+        out = None
+    if out is None:
+        try:
+            from scipy.signal import resample_poly
+
+            out = resample_poly(
+                y.astype(np.float64), up, down, window=("kaiser", 12.9846)
+            )
+        except ImportError:  # pragma: no cover - scipy present in this image
+            out = _naive_resample(y, orig_sr, target_sr)
     return out.astype(np.float32)
 
 
