@@ -239,3 +239,42 @@ def vmapped_lr_sweep(
             "final_val_acc": float(history[-1]["val_acc"][i]),
         })
     return results
+
+
+def train_ensemble(
+    model,
+    train_loader,
+    n_members: int,
+    epochs: int,
+    learning_rate: float = 1e-3,
+    modality_dropout: float = 0.0,
+    clip_norm: float = 1.0,
+    weight_decay: float = 1e-4,
+    seed: int = 42,
+):
+    """Train N independently-initialized ensemble members in ONE jitted
+    program (same lr, member-index-folded init seeds).  Returns the stacked
+    parameter pytree consumed directly by
+    uncertainty.ensemble.ensemble_predict — the reference trains its
+    EnsembleUncertainty members one at a time (uncertainty.py:419-468).
+    """
+    feats, labels = train_loader.device_arrays()
+    m = train_loader.arrays.num_modalities
+    b = train_loader.batch_size
+    sample = {k: a[:b] for k, a in feats.items()}
+    state = init_sweep_state(
+        model, sample, jnp.ones((b, m), jnp.float32),
+        [learning_rate] * n_members, clip_norm, seed,
+    )
+    step = make_vmapped_train_step(
+        model, m, modality_dropout, clip_norm, weight_decay
+    )
+    key = jax.random.PRNGKey(seed)
+    for epoch in range(epochs):
+        idx_all = train_loader.epoch_batch_indices(epoch)
+        valid_all = train_loader.epoch_batch_valid()
+        for bi in range(idx_all.shape[0]):
+            state, _ = step(state, feats, labels,
+                            jnp.asarray(idx_all[bi]),
+                            jnp.asarray(valid_all[bi]), key)
+    return state.params  # stacked (N, ...) pytree

@@ -128,7 +128,9 @@ class Trainer:
                 start_epoch = int(meta.get("epoch", -1)) + 1
                 print(f"Resumed from {last} at epoch {start_epoch}")
 
-        feats, labels = train_loader.device_arrays()
+        device_resident = getattr(train_loader, "device_resident", True)
+        if device_resident:
+            feats, labels = train_loader.device_arrays()
         base_key = jax.random.PRNGKey(cfg.seed)
         profile_dir = cfg.runtime.profile_dir
 
@@ -141,16 +143,34 @@ class Trainer:
             if profile_dir and epoch == min(1, cfg.training.max_epochs - 1):
                 jax.profiler.start_trace(str(profile_dir))
             epoch_metrics = []
-            for b in range(idx_all.shape[0]):
-                self.state, metrics = self._train_step(
-                    self.state,
-                    feats,
-                    labels,
-                    jnp.asarray(idx_all[b]),
-                    jnp.asarray(valid_all[b]),
-                    base_key,
-                )
-                epoch_metrics.append(metrics)
+            if device_resident:
+                # TPU-native path: split lives in HBM, batches gathered in-jit
+                for b in range(idx_all.shape[0]):
+                    self.state, metrics = self._train_step(
+                        self.state,
+                        feats,
+                        labels,
+                        jnp.asarray(idx_all[b]),
+                        jnp.asarray(valid_all[b]),
+                        base_key,
+                    )
+                    epoch_metrics.append(metrics)
+            else:
+                # host-streaming path for splits larger than HBM: each host
+                # batch ships to the device; the step's gather is identity
+                train_loader.set_epoch(epoch)
+                batch_n = train_loader.batch_size
+                identity = jnp.arange(batch_n, dtype=jnp.int32)
+                for b, (feats_b, labels_b, _) in enumerate(train_loader):
+                    self.state, metrics = self._train_step(
+                        self.state,
+                        feats_b,
+                        labels_b,
+                        identity,
+                        jnp.asarray(valid_all[b]),
+                        base_key,
+                    )
+                    epoch_metrics.append(metrics)
             jax.block_until_ready(self.state.params)
             if profile_dir and epoch == min(1, cfg.training.max_epochs - 1):
                 jax.profiler.stop_trace()
@@ -234,18 +254,29 @@ class Trainer:
     def _run_eval(self, loader, state=None, collect=False):
         state = state if state is not None else self.state
         assert state is not None and self._eval_step is not None
-        feats, labels = loader.device_arrays()
+        device_resident = getattr(loader, "device_resident", True)
         idx_all = loader.epoch_batch_indices(0)
         valid_all = loader.epoch_batch_valid()
+        if device_resident:
+            feats, labels = loader.device_arrays()
+        else:
+            loader.set_epoch(0)
+            host_batches = iter(loader)
+            identity = jnp.arange(loader.batch_size, dtype=jnp.int32)
         totals = None
         logits_list, preds_list, labels_list, valid_list = [], [], [], []
         for b in range(idx_all.shape[0]):
+            if not device_resident:
+                feats, labels, _ = next(host_batches)
+                batch_idx = identity
+            else:
+                batch_idx = jnp.asarray(idx_all[b])
             sums, (logits, preds, batch_labels) = self._eval_step(
                 state.params,
                 state.model_state,
                 feats,
                 labels,
-                jnp.asarray(idx_all[b]),
+                batch_idx,
                 jnp.asarray(valid_all[b]),
             )
             totals = (

@@ -273,3 +273,19 @@ def test_reference_invariant_dropout_knobs_are_inert():
     for dropout, m_drop in ((0.3, 0.0), (0.0, 0.1), (0.3, 0.1)):
         other = run(dropout, m_drop)
         np.testing.assert_array_equal(base, other)
+
+
+def test_host_streaming_matches_device_resident():
+    """device_resident=False (host streaming) must reproduce the resident
+    path's trajectory exactly (same batches, same keys)."""
+    def run(resident):
+        cfg = tiny_config()
+        cfg.dataset.device_resident = resident
+        train_loader, val_loader, _ = make_loaders(cfg)
+        for loader in (train_loader, val_loader):
+            loader.device_resident = resident
+        trainer = Trainer(cfg, save_dir=f"/tmp/stream_{resident}")
+        trainer.fit(train_loader, val_loader)
+        return [row["val/loss"] for row in trainer.history]
+
+    np.testing.assert_allclose(run(True), run(False), rtol=1e-6)

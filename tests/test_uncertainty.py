@@ -155,3 +155,30 @@ def test_ensemble_predict():
     assert mean_probs.shape == (6, 4)
     np.testing.assert_allclose(np.asarray(mean_probs.sum(-1)), 1.0, rtol=1e-5)
     assert float(unc.max()) > 0.0  # members disagree
+
+
+def test_vmapped_ensemble_training_feeds_ensemble_predict():
+    """N members train in one program; predictions disagree (real ensemble)."""
+    from multimodal_emotion_detection_tpu.data.loader import MultimodalLoader
+    from multimodal_emotion_detection_tpu.data.synthetic import (
+        synthetic_arrays,
+    )
+    from multimodal_emotion_detection_tpu.parallel.vmap_sweep import (
+        train_ensemble,
+    )
+
+    model, variables, feats = _tiny_model_and_params(dropout=0.0)
+    arrays = synthetic_arrays(32, 4, {"a": 8}, 3, "train", seed=2)
+    arrays.features["a"] = arrays.features["a"][:, 0, :]
+    loader = MultimodalLoader(arrays, batch_size=16, shuffle=True, seed=4)
+
+    stacked = train_ensemble(model, loader, n_members=3, epochs=2,
+                             learning_rate=5e-3, seed=9)
+    lead = jax.tree_util.tree_leaves(stacked)[0]
+    assert lead.shape[0] == 3
+    mean_probs, unc = ensemble_predict(
+        model, stacked, {}, feats, num_modalities=1
+    )
+    assert mean_probs.shape == (6, 4)
+    np.testing.assert_allclose(np.asarray(mean_probs.sum(-1)), 1.0, rtol=1e-5)
+    assert float(unc.max()) > 0.0  # members genuinely differ
