@@ -137,7 +137,16 @@ class MultimodalClassifier(nn.Module):
         encoded = self.encode(features, mask, deterministic, bn_eval=bn_eval)
 
         if self.train_fusion == "library":
-            fusion_mask = mask if self.use_modality_mask else None
+            if self.use_modality_mask and mask is not None:
+                fusion_mask = mask
+            else:
+                # mask-ignoring mode: fusions treat all modalities as
+                # available (LateFusionWithUncertainty *requires* a mask,
+                # so all-ones rather than None)
+                b = next(iter(encoded.values())).shape[0]
+                fusion_mask = jnp.ones(
+                    (b, len(self.modalities)), dtype=jnp.float32
+                )
             output = self.fusion(
                 encoded, fusion_mask, deterministic=deterministic
             )

@@ -289,3 +289,39 @@ def test_host_streaming_matches_device_resident():
         return [row["val/loss"] for row in trainer.history]
 
     np.testing.assert_allclose(run(True), run(False), rtol=1e-6)
+
+
+@pytest.mark.parametrize("fusion_type", ["early", "late", "hybrid",
+                                         "uncertainty"])
+def test_library_fusion_trains_end_to_end(fusion_type):
+    """train_fusion=library must train with every fusion family."""
+    cfg = tiny_config()
+    cfg.model.train_fusion = "library"
+    cfg.model.fusion_type = fusion_type
+    cfg.training.max_epochs = 1
+    train_loader, val_loader, _ = make_loaders(cfg)
+    trainer = Trainer(cfg, save_dir=f"/tmp/libfusion_{fusion_type}")
+    trainer.fit(train_loader, val_loader)
+    assert np.isfinite(trainer.history[-1]["val/loss"])
+
+
+def test_train_cli_uncertainty_branch(tmp_path, monkeypatch):
+    """fusion_type=uncertainty run() writes uncertainty.json + diagram."""
+    monkeypatch.chdir(tmp_path)
+    from multimodal_emotion_detection_tpu.train import run
+
+    cfg = tiny_config()
+    cfg.model.fusion_type = "uncertainty"
+    cfg.training.max_epochs = 1
+    cfg.experiment.save_dir = str(tmp_path / "out")
+    cfg.outputs.experiments_dir = str(tmp_path / "experiments")
+    results = run(cfg)
+    import json
+    report = json.loads((tmp_path / "experiments" / "uncertainty.json")
+                        .read_text())
+    assert report["dataset"] == "synthetic"
+    cm = report["calibration_metrics"]
+    assert set(cm) == {"ece", "nll", "bins", "accuracy_per_bin"}
+    assert len(cm["bins"]) == cfg.evaluation.num_calibration_bins
+    assert (tmp_path / "analysis" / "calibration_diagram.png").exists()
+    assert "ece" in results
