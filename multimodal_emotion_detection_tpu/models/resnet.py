@@ -10,7 +10,7 @@ one, otherwise the backbone trains from random init.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -52,7 +52,6 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    import optax
 
     from multimodal_emotion_detection_tpu.data.loader import create_dataloaders
     from multimodal_emotion_detection_tpu.data.masking import (

@@ -51,7 +51,6 @@ def run(config: Config, overrides=None, resume: bool = False) -> dict:
 
     setup_from_config(config)
 
-    import jax
 
     from multimodal_emotion_detection_tpu.data.loader import create_dataloaders
     from multimodal_emotion_detection_tpu.training.evaluate import (

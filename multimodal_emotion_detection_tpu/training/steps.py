@@ -18,8 +18,7 @@ Batch-stats (BatchNorm) collections are threaded when the model has them
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -210,9 +210,6 @@ def compute_calibration_metrics_over_loader(
     ``forward_fn(params, model_state, features, mask) -> logits`` is the
     jitted inference forward (training.steps.make_forward_fn).
     """
-    import jax
-    import jax.numpy as jnp
-
     logits_all, labels_all = [], []
     for features, labels, mask in loader:
         logits = forward_fn(params, model_state, features, mask)
