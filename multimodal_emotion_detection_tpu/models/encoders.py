@@ -121,7 +121,7 @@ class SequenceEncoder(nn.Module):
     encoder_type: str = "lstm"
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
-    scan_unroll: int = 2
+    scan_unroll: int = 4  # tuned on v5e (benchmarks/tpu_tuning.json)
     fused: bool = True  # all-layers-in-one-scan for short sequences
     max_len: int = 4096
     attention_block: int = 512  # local-attention block size past max_len
@@ -443,7 +443,7 @@ def build_encoder(
             num_layers=cfg.pop("num_layers", 2),
             encoder_type=cfg.pop("encoder_type", "lstm"),
             dropout=cfg.pop("dropout", 0.1),
-            scan_unroll=cfg.pop("scan_unroll", 2),
+            scan_unroll=cfg.pop("scan_unroll", 4),
             fused=cfg.pop("fused", True),
             dtype=dtype,
             name=f"{modality}_encoder",
