@@ -1,0 +1,104 @@
+"""Tooling: curve plotter, CSV/TB loggers, attention visualizer, utils."""
+
+import csv
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_plot_curves_from_csv(tmp_path):
+    from multimodal_emotion_detection_tpu.tools.plot_curves import plot_curves
+
+    path = tmp_path / "metrics.csv"
+    with open(path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=[
+            "epoch", "step", "train/loss", "train/acc", "val/loss", "val/acc",
+        ])
+        writer.writeheader()
+        for e in range(5):
+            writer.writerow({
+                "epoch": e, "step": e * 10,
+                "train/loss": 2.0 - 0.1 * e, "train/acc": 0.2 + 0.1 * e,
+                "val/loss": 2.1 - 0.1 * e, "val/acc": 0.15 + 0.1 * e,
+            })
+    out = plot_curves(str(path))
+    assert Path(out).exists() and Path(out).stat().st_size > 0
+
+
+def test_csv_logger_grows_columns(tmp_path):
+    from multimodal_emotion_detection_tpu.utils.logging import CSVLogger
+
+    logger = CSVLogger(tmp_path)
+    logger.log_metrics({"train/loss": 1.0}, step=1, epoch=0)
+    logger.log_metrics({"train/loss": 0.9, "val/loss": 1.1}, step=2, epoch=1)
+    rows = list(csv.DictReader(open(logger.path)))
+    assert rows[0]["val/loss"] == ""  # earlier rows get blank new columns
+    assert rows[1]["val/loss"] == "1.1"
+    # version directories increment
+    logger2 = CSVLogger(tmp_path)
+    assert logger2.log_dir.name == "version_1"
+
+
+def test_visualize_attention_writes(tmp_path):
+    from multimodal_emotion_detection_tpu.models.attention import (
+        visualize_attention,
+    )
+
+    attn = np.random.RandomState(0).rand(2, 4, 2, 2)  # (B, H, M, M)
+    out = tmp_path / "attn.png"
+    visualize_attention(attn, ["audio", "video"], save_path=str(out))
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_param_summary_and_counts():
+    from multimodal_emotion_detection_tpu.utils.tree import (
+        count_params,
+        param_summary,
+    )
+
+    params = {
+        "encoder": {"w": jnp.zeros((4, 8)), "b": jnp.zeros((8,))},
+        "head": {"w": jnp.zeros((8, 2))},
+    }
+    assert count_params(params) == 4 * 8 + 8 + 8 * 2
+    text = param_summary(params)
+    assert "encoder: 40 params" in text
+    assert "Total parameters: 56" in text
+
+
+def test_step_timer():
+    import time
+
+    from multimodal_emotion_detection_tpu.utils.logging import StepTimer
+
+    t = StepTimer()
+    t.start()
+    time.sleep(0.01)
+    t.stop(num_samples=100)
+    assert t.samples_per_sec > 0
+    assert t.elapsed >= 0.01
+
+
+def test_epoch_key_pure_function():
+    from multimodal_emotion_detection_tpu.utils.prng import epoch_key
+
+    k1 = epoch_key(42, 3)
+    k2 = epoch_key(42, 3)
+    k3 = epoch_key(42, 4)
+    assert jnp.array_equal(k1, k2)
+    assert not jnp.array_equal(k1, k3)
+
+
+def test_debug_nans_flag_roundtrip():
+    """runtime.debug_nans enables jit-time NaN checking without breaking
+    clean computations (the 'sanitizer' debug config, SURVEY.md §5)."""
+    from multimodal_emotion_detection_tpu.utils.runtime import setup_jax
+
+    try:
+        setup_jax(debug_nans=True)
+        out = jax.jit(lambda x: x * 2)(jnp.ones((4,)))
+        assert bool(jnp.isfinite(out).all())
+    finally:
+        jax.config.update("jax_debug_nans", False)
