@@ -88,9 +88,15 @@ def make_sharded_train_step(
 
         denom = jnp.clip(valid.sum(), min=1.0)
         preds = jnp.argmax(logits, axis=-1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         metrics: Dict[str, jnp.ndarray] = {
             "loss": loss,
             "acc": ((preds == batch_labels) * valid).sum() / denom,
+            "confidence_mean": (probs.max(axis=-1) * valid).sum() / denom,
+            "entropy": (
+                -(probs * jnp.log(jnp.clip(probs, min=1e-12))).sum(axis=-1)
+                * valid
+            ).sum() / denom,
         }
         return (
             state.replace(
@@ -122,7 +128,11 @@ def make_sharded_train_step(
             compiled[struct_key] = jax.jit(
                 step_fn,
                 in_shardings=in_shardings_for(features),
-                out_shardings=(st_shardings, {"loss": rep, "acc": rep}),
+                out_shardings=(
+                    st_shardings,
+                    {"loss": rep, "acc": rep, "confidence_mean": rep,
+                     "entropy": rep},
+                ),
                 donate_argnums=(0,) if donate else (),
             )
         return compiled[struct_key](state, features, labels, idx, valid, key)

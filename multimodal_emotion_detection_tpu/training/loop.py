@@ -66,6 +66,7 @@ class Trainer:
             patience=config.training.early_stopping_patience
         )
         self.state: Optional[TrainState] = None
+        self._mesh = None
         self._train_step = None
         self._eval_step = None
         self._schedule = None
@@ -93,17 +94,68 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         self.state = create_train_state(self.model, tx, sample, sample_mask, rng)
         has_bn = bool(self.state.model_state)
-        self._train_step = make_train_step(
-            self.model,
-            tx,
-            num_modalities=train_loader.arrays.num_modalities,
-            modality_dropout=cfg.training.augmentation.modality_dropout,
-            has_batch_stats=has_bn,
-            donate=cfg.runtime.donate_state,
-        )
+
+        # Multi-device: jit the same step over a ('data','model') mesh.
+        # Single chip keeps the plain path (identical numerics, tested).
+        n_devices = len(jax.devices())
+        use_mesh = n_devices > 1 or cfg.parallel.model_parallel > 1
+        if use_mesh:
+            from multimodal_emotion_detection_tpu.parallel.mesh import (
+                mesh_from_config,
+            )
+            from multimodal_emotion_detection_tpu.parallel.sharding import (
+                batch_sharding,
+                replicated,
+                shard_state,
+            )
+            from multimodal_emotion_detection_tpu.parallel.train import (
+                make_sharded_train_step,
+            )
+
+            self._mesh = mesh_from_config(cfg.parallel)
+            data_size = self._mesh.shape["data"]
+            if train_loader.batch_size % data_size != 0:
+                raise ValueError(
+                    f"batch_size {train_loader.batch_size} not divisible by "
+                    f"the data axis ({data_size})"
+                )
+            self.state = shard_state(
+                self.state, self._mesh, cfg.parallel.min_shard_dim
+            )
+            self._batch_sharding = batch_sharding(self._mesh)
+            self._replicated = replicated(self._mesh)
+            self._train_step = make_sharded_train_step(
+                self.model, tx, self._mesh, self.state,
+                num_modalities=train_loader.arrays.num_modalities,
+                modality_dropout=cfg.training.augmentation.modality_dropout,
+                has_batch_stats=has_bn,
+                min_shard_dim=cfg.parallel.min_shard_dim,
+                donate=cfg.runtime.donate_state,
+            )
+        else:
+            self._mesh = None
+            self._train_step = make_train_step(
+                self.model,
+                tx,
+                num_modalities=train_loader.arrays.num_modalities,
+                modality_dropout=cfg.training.augmentation.modality_dropout,
+                has_batch_stats=has_bn,
+                donate=cfg.runtime.donate_state,
+            )
+        # eval jit follows the input shardings automatically (GSPMD)
         self._eval_step = make_eval_step(
             self.model, train_loader.arrays.num_modalities
         )
+
+    def _place_idx(self, idx: np.ndarray) -> jnp.ndarray:
+        if self._mesh is not None:
+            return jax.device_put(jnp.asarray(idx), self._batch_sharding)
+        return jnp.asarray(idx)
+
+    def _place_valid(self, valid: np.ndarray) -> jnp.ndarray:
+        if self._mesh is not None:
+            return jax.device_put(jnp.asarray(valid), self._batch_sharding)
+        return jnp.asarray(valid)
 
     @property
     def num_params(self) -> int:
@@ -129,9 +181,12 @@ class Trainer:
                 print(f"Resumed from {last} at epoch {start_epoch}")
 
         device_resident = getattr(train_loader, "device_resident", True)
+        data_sharding = self._replicated if self._mesh is not None else None
         if device_resident:
-            feats, labels = train_loader.device_arrays()
+            feats, labels = train_loader.device_arrays(sharding=data_sharding)
         base_key = jax.random.PRNGKey(cfg.seed)
+        if self._mesh is not None:
+            base_key = jax.device_put(base_key, self._replicated)
         profile_dir = cfg.runtime.profile_dir
 
         for epoch in range(start_epoch, cfg.training.max_epochs):
@@ -150,8 +205,8 @@ class Trainer:
                         self.state,
                         feats,
                         labels,
-                        jnp.asarray(idx_all[b]),
-                        jnp.asarray(valid_all[b]),
+                        self._place_idx(idx_all[b]),
+                        self._place_valid(valid_all[b]),
                         base_key,
                     )
                     epoch_metrics.append(metrics)
@@ -258,7 +313,9 @@ class Trainer:
         idx_all = loader.epoch_batch_indices(0)
         valid_all = loader.epoch_batch_valid()
         if device_resident:
-            feats, labels = loader.device_arrays()
+            feats, labels = loader.device_arrays(
+                sharding=self._replicated if self._mesh is not None else None
+            )
         else:
             loader.set_epoch(0)
             host_batches = iter(loader)

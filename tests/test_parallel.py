@@ -188,3 +188,40 @@ def test_vmapped_lr_sweep_matches_reference_member():
                                                     rel=1e-6)
     # higher lr should move loss more than tiny lr on this easy setup
     assert results[0]["best_val_loss"] != results[1]["best_val_loss"]
+
+
+def test_trainer_uses_mesh_automatically():
+    """On a multi-device backend the Trainer trains SPMD out of the box."""
+    from multimodal_emotion_detection_tpu.training.loop import Trainer
+    from tests.test_train import make_loaders, tiny_config
+
+    cfg = tiny_config()
+    cfg.parallel.data_parallel = 2
+    cfg.parallel.model_parallel = 2  # 2x2 mesh (local 8-way aborts, 1 core)
+    cfg.parallel.min_shard_dim = 16
+    cfg.training.max_epochs = 2
+    train_loader, val_loader, _ = make_loaders(cfg)
+    trainer = Trainer(cfg, save_dir="/tmp/mesh_trainer")
+    trainer.fit(train_loader, val_loader)
+    assert trainer._mesh is not None
+    assert dict(trainer._mesh.shape) == {"data": 2, "model": 2}
+    mesh_losses = [row["val/loss"] for row in trainer.history]
+
+    # single-device reference trajectory must match
+    cfg2 = tiny_config()
+    cfg2.training.max_epochs = 2
+    import jax
+
+    train_loader2, val_loader2, _ = make_loaders(cfg2)
+    t2 = Trainer(cfg2, save_dir="/tmp/mesh_trainer_ref")
+    # force the single-device path despite 8 visible devices
+    t2.config.parallel.model_parallel = 1
+    t2._build(train_loader2)
+    t2._mesh = None
+    from multimodal_emotion_detection_tpu.training.steps import (
+        create_train_state,
+        make_train_step,
+    )
+    t2.fit(train_loader2, val_loader2)
+    single_losses = [row["val/loss"] for row in t2.history]
+    np.testing.assert_allclose(mesh_losses, single_losses, rtol=2e-4)
