@@ -112,3 +112,25 @@ def test_mfcc_shapes_and_dct():
     logm = logmel_frames(wave, p)
     expected = np.asarray(logm) @ _dct_matrix_np(16, 8)
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_lstm2_inference_kernel_matches_scan():
+    """In-kernel LSTM recurrence (interpret mode) == FusedStackedRNN."""
+    from multimodal_emotion_detection_tpu.models.recurrent import (
+        FusedStackedRNN,
+    )
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        lstm2_infer_pallas,
+    )
+
+    b, t, d, h = 8, 50, 12, 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, t, d))
+    ref = FusedStackedRNN(hidden_dim=h, num_layers=2, cell_type="lstm")
+    variables = jax.jit(lambda k: ref.init(k, x))(jax.random.PRNGKey(1))
+    _, h_ref = ref.apply(variables, x)
+
+    p = variables["params"]
+    h_ker = lstm2_infer_pallas(x, p["layer_0"], p["layer_1"],
+                               chunk=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(h_ker), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-5)
