@@ -123,6 +123,7 @@ class SequenceEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     scan_unroll: int = 4  # tuned on v5e (benchmarks/tpu_tuning.json)
     fused: bool = True  # all-layers-in-one-scan for short sequences
+    inference_kernel: bool = False  # Pallas in-kernel recurrence at eval
     max_len: int = 4096
     attention_block: int = 512  # local-attention block size past max_len
 
@@ -151,16 +152,28 @@ class SequenceEncoder(nn.Module):
                 and self.num_layers > 1
                 and x.shape[1] <= 2048
             )
-            rnn_cls = FusedStackedRNN if use_fused else StackedRNN
-            outputs, h_last = rnn_cls(
-                hidden_dim=self.hidden_dim,
-                num_layers=self.num_layers,
-                cell_type=self.encoder_type,
-                dropout=self.dropout if self.num_layers > 1 else 0.0,
-                dtype=self.dtype,
-                unroll=self.scan_unroll,
-                name="rnn",
-            )(x, deterministic=deterministic)
+            if use_fused:
+                rnn = FusedStackedRNN(
+                    hidden_dim=self.hidden_dim,
+                    num_layers=self.num_layers,
+                    cell_type=self.encoder_type,
+                    dropout=self.dropout if self.num_layers > 1 else 0.0,
+                    dtype=self.dtype,
+                    unroll=self.scan_unroll,
+                    inference_kernel=self.inference_kernel and lengths is None,
+                    name="rnn",
+                )
+            else:
+                rnn = StackedRNN(
+                    hidden_dim=self.hidden_dim,
+                    num_layers=self.num_layers,
+                    cell_type=self.encoder_type,
+                    dropout=self.dropout if self.num_layers > 1 else 0.0,
+                    dtype=self.dtype,
+                    unroll=self.scan_unroll,
+                    name="rnn",
+                )
+            outputs, h_last = rnn(x, deterministic=deterministic)
             if lengths is not None:
                 idx = jnp.clip(lengths.astype(jnp.int32) - 1, 0, x.shape[1] - 1)
                 h_last = jnp.take_along_axis(
@@ -445,6 +458,7 @@ def build_encoder(
             dropout=cfg.pop("dropout", 0.1),
             scan_unroll=cfg.pop("scan_unroll", 4),
             fused=cfg.pop("fused", True),
+            inference_kernel=cfg.pop("inference_kernel", False),
             dtype=dtype,
             name=f"{modality}_encoder",
         )

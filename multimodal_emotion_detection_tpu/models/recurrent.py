@@ -281,6 +281,9 @@ class FusedStackedRNN(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     unroll: int = 4
+    # opt-in Pallas in-kernel recurrence for deterministic (inference)
+    # calls; measured 1.3x over the tuned scan on v5e (ops/lstm_kernel.py)
+    inference_kernel: bool = False
 
     @nn.compact
     def __call__(
@@ -306,6 +309,28 @@ class FusedStackedRNN(nn.Module):
             )
 
         x = x.astype(dtype)
+
+        if (
+            self.inference_kernel
+            and deterministic
+            and self.cell_type == "lstm"
+            and self.num_layers == 2
+            and not self.is_initializing()
+        ):
+            from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+                kernel_supported,
+                lstm2_infer_pallas,
+            )
+
+            if kernel_supported(batch, t_len, h_dim, self.num_layers):
+                h_final = lstm2_infer_pallas(
+                    x, layers[0], layers[1],
+                    interpret=jax.default_backend() != "tpu",
+                )
+                # callers in the lengths=None inference path only consume
+                # h_final; a (B, 1, H) view keeps the API two-valued
+                return h_final[:, None, :], h_final
+
         x_tm = jnp.swapaxes(x, 0, 1)  # (T, B, D)
         if self.cell_type == "lstm":
             ih0 = x_tm @ layers[0]["w_ih"] + layers[0]["b"]

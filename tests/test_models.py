@@ -332,3 +332,19 @@ def test_fused_stacked_rnn_matches_layerwise(cell):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_inference_kernel_path_matches_scan():
+    """SequenceEncoder(inference_kernel=True) uses the Pallas recurrence at
+    eval (interpret off-TPU) and must match the scan path exactly."""
+    enc_scan = SequenceEncoder(input_dim=6, hidden_dim=128, output_dim=OUT,
+                               encoder_type="lstm", num_layers=2)
+    enc_kernel = SequenceEncoder(input_dim=6, hidden_dim=128, output_dim=OUT,
+                                 encoder_type="lstm", num_layers=2,
+                                 inference_kernel=True)
+    x = jax.random.normal(KEY, (8, 40, 6))
+    variables = _init(enc_scan, x)
+    out_scan = enc_scan.apply(variables, x)
+    out_kernel = enc_kernel.apply(variables, x)  # same params, kernel path
+    np.testing.assert_allclose(np.asarray(out_kernel), np.asarray(out_scan),
+                               rtol=1e-5, atol=1e-5)
