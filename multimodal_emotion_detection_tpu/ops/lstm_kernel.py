@@ -38,7 +38,8 @@ def _cell(h, c, gates):
 
 
 def _lstm2_kernel(
-    ih0_hbm,  # (T_pad, B, 4H) in ANY/HBM — streamed
+    ih0_hbm,  # (B, T_pad, 4H) in ANY/HBM — streamed (batch-major: no
+    #           transpose needed; the chunk DMA is strided over B)
     w_hh0_ref,  # (H, 4H) VMEM
     w_ih1_ref,  # (H, 4H) VMEM
     b1_ref,  # (1, 4H) VMEM
@@ -54,7 +55,7 @@ def _lstm2_kernel(
 
     batch = h_out_ref.shape[0]
     h_dim = h_out_ref.shape[1]
-    num_chunks = ih0_hbm.shape[0] // chunk
+    num_chunks = ih0_hbm.shape[1] // chunk
 
     def body(ih_buf, sem, state_buf):
         # state_buf: (4, B, H) = h0, c0, h1, c1
@@ -66,7 +67,7 @@ def _lstm2_kernel(
 
         def dma(slot, chunk_idx):
             return pltpu.make_async_copy(
-                ih0_hbm.at[pl.ds(chunk_idx * chunk, chunk)],
+                ih0_hbm.at[:, pl.ds(chunk_idx * chunk, chunk)],
                 ih_buf.at[slot],
                 sem.at[slot],
             )
@@ -88,7 +89,7 @@ def _lstm2_kernel(
                 c0 = state_buf[1]
                 h1 = state_buf[2]
                 c1 = state_buf[3]
-                gates0 = ih_buf[slot, s] + jnp.dot(
+                gates0 = ih_buf[slot, :, s] + jnp.dot(
                     h0, w_hh0, preferred_element_type=jnp.float32
                 )
                 h0n, c0n = _cell(h0, c0, gates0)
@@ -117,7 +118,7 @@ def _lstm2_kernel(
     gates4 = w_hh0_ref.shape[1]
     pl.run_scoped(
         body,
-        ih_buf=pltpu.VMEM((2, chunk, batch, gates4), jnp.float32),
+        ih_buf=pltpu.VMEM((2, batch, chunk, gates4), jnp.float32),
         sem=pltpu.SemaphoreType.DMA((2,)),
         state_buf=pltpu.VMEM((4, batch, h_dim), jnp.float32),
     )
@@ -142,14 +143,15 @@ def lstm2_infer_pallas(
     batch, t_len, _ = x.shape
     h_dim = layer0["w_hh"].shape[0]
 
-    ih0 = jnp.swapaxes(
+    # batch-major (B, T, 4H): no 50 MB time-major transpose; the kernel's
+    # chunk DMA strides over the batch dimension instead
+    ih0 = (
         x.astype(jnp.float32) @ layer0["w_ih"].astype(jnp.float32)
-        + layer0["b"].astype(jnp.float32),
-        0, 1,
-    )  # (T, B, 4H)
+        + layer0["b"].astype(jnp.float32)
+    )
     t_pad = ((t_len + chunk - 1) // chunk) * chunk
     if t_pad > t_len:
-        ih0 = jnp.pad(ih0, ((0, t_pad - t_len), (0, 0), (0, 0)))
+        ih0 = jnp.pad(ih0, ((0, 0), (0, t_pad - t_len), (0, 0)))
 
     kernel = functools.partial(_lstm2_kernel, t_len=t_len, chunk=chunk,
                                full_unroll=full_unroll)
