@@ -159,7 +159,7 @@ def lstm2_infer_pallas(
         kernel,
         out_shape=jax.ShapeDtypeStruct((batch, h_dim), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # HBM; streamed manually
+            pl.BlockSpec(memory_space=pl.ANY),  # HBM; streamed manually
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -102,3 +102,44 @@ def test_debug_nans_flag_roundtrip():
         assert bool(jnp.isfinite(out).all())
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_maybe_initialize_noop_and_env(monkeypatch):
+    from multimodal_emotion_detection_tpu.parallel.distributed import (
+        maybe_initialize,
+        process_info,
+    )
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_AUTO_DISTRIBUTED", raising=False)
+    assert maybe_initialize() is False  # single-host: no-op
+    info = process_info()
+    assert info["process_index"] == 0 and info["process_count"] == 1
+    assert info["global_devices"] == 8  # virtual mesh
+
+
+def test_sequential_sweep_driver(tmp_path, monkeypatch):
+    """run_sweep: 1x1x1 grid produces the tag dir + harvested artifacts."""
+    monkeypatch.chdir(tmp_path)
+    from multimodal_emotion_detection_tpu.tools.sweep import (
+        format_tag,
+        run_sweep,
+    )
+    from tests.test_train import tiny_config
+
+    assert format_tag(5e-4, 0.0, 0.1) == "lr0p0005_drop0_mDrop0p1"
+
+    cfg = tiny_config()
+    cfg.training.max_epochs = 1
+    cfg.experiment.save_dir = str(tmp_path / "outputs")
+    results = run_sweep(
+        cfg, learning_rates=[1e-3], dropouts=[0.0], modality_dropouts=[0.0],
+        out_root=str(tmp_path / "grid"),
+    )
+    assert len(results) == 1
+    tag_dir = tmp_path / "grid" / results[0]["tag"]
+    assert (tag_dir / "hyperparams.txt").exists()
+    assert (tag_dir / "results.json").exists()
+    assert (tag_dir / "metrics.csv").exists()
+    assert (tag_dir / "best.ckpt").exists()
+    assert (tmp_path / "grid" / "sweep_summary.json").exists()
