@@ -96,3 +96,32 @@ def test_snapshot_roundtrip(tmp_path):
     reloaded = load_config(str(snap / "config.yaml"))
     assert config_to_dict(reloaded) == config_to_dict(cfg)
     assert "training.learning_rate=2e-3" in (snap / "overrides.yaml").read_text()
+
+
+def test_nested_dataclass_merge_and_frontend():
+    cfg = load_config(None, [
+        "model.frontend.audio=mfcc",
+        "model.frontend.n_mfcc=20",
+        "parallel.model_parallel=2",
+        "runtime.profile_dir=/tmp/prof",
+    ])
+    assert cfg.model.frontend.audio == "mfcc"
+    assert cfg.model.frontend.n_mfcc == 20
+    assert cfg.parallel.model_parallel == 2
+    assert cfg.runtime.profile_dir == "/tmp/prof"
+
+
+def test_list_and_null_values():
+    cfg = Config()
+    apply_overrides(cfg, ["model.frontend.fmax=null"])
+    assert cfg.model.frontend.fmax is None
+    apply_overrides(cfg, ["model.frontend.fmax=7600"])
+    assert cfg.model.frontend.fmax == 7600.0
+
+
+def test_fast_yaml_loads():
+    fast = Path(__file__).resolve().parents[1] / "configs" / "fast.yaml"
+    cfg = load_config(str(fast))
+    assert cfg.runtime.compute_dtype == "bfloat16"
+    assert cfg.model.train_fusion == "library"
+    assert cfg.model.encoders["audio"]["scan_unroll"] == 4

@@ -108,3 +108,20 @@ def test_simulate_missing_modalities():
     np.testing.assert_array_equal(np.asarray(new_mask), [[1, 0]] * 3)
     assert float(jnp.abs(out["b"]).sum()) == 0.0
     assert float(jnp.abs(out["a"]).sum()) > 0.0
+
+
+def test_loader_drop_last():
+    arrays = synthetic_arrays(10, 3, {"a": 4}, 5, "train")
+    loader = MultimodalLoader(arrays, batch_size=4, drop_last=True)
+    assert len(loader) == 2
+    idx = loader.epoch_batch_indices(0)
+    assert idx.shape == (2, 4)
+    assert loader.epoch_batch_valid().sum() == 8
+
+
+def test_device_arrays_cached():
+    arrays = synthetic_arrays(8, 3, {"a": 4}, 5, "train")
+    loader = MultimodalLoader(arrays, batch_size=4)
+    f1, l1 = loader.device_arrays()
+    f2, l2 = loader.device_arrays()
+    assert f1["a"] is f2["a"] and l1 is l2  # transferred exactly once
