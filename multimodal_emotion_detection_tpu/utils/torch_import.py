@@ -1,0 +1,113 @@
+"""Import reference (torch/Lightning) checkpoints into this framework.
+
+The reference saves Lightning checkpoints whose ``state_dict`` keys follow
+its LightningModule attribute layout (/root/reference/src/train.py:50-85):
+
+    encoders.audio.rnn.weight_ih_l{k} / weight_hh_l{k} / bias_*_l{k}
+    encoders.audio.projection.{weight,bias}
+    encoders.video.frame_mlp.0.{weight,bias}      # Linear
+    encoders.video.attention.{weight,bias}        # attention-pool score
+    encoders.video.projection.0.{weight,bias}     # LayerNorm
+    encoders.video.projection.1.{weight,bias}     # Linear
+    fusion_head.0.{weight,bias} / fusion_head.2.{weight,bias}
+
+``import_reference_state_dict`` maps those tensors onto this framework's
+parameter tree for the flagship configuration (LSTM/GRU audio sequence
+encoder + frame video encoder + concat head, ``train_fusion='concat'``),
+transposing Linear weights (torch stores (out, in)) and summing torch's
+two RNN bias vectors into the single fused bias.  Migrating a *trained*
+reference model therefore requires no retraining.
+
+Verified by test against a torch model with the same wiring
+(tests/test_torch_import.py): imported parameters reproduce the torch
+logits to float32 tolerance.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict
+
+
+def _t(tensor):
+    import numpy as np
+
+    arr = tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor
+    return np.asarray(arr)
+
+
+def load_lightning_state_dict(ckpt_path: str) -> Dict[str, Any]:
+    """Read a Lightning ``.ckpt`` (or raw state_dict file) with torch."""
+    import torch
+
+    obj = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    return obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+
+
+def import_reference_state_dict(
+    state_dict: Dict[str, Any],
+    template_params: Dict[str, Any],
+    modalities=("audio", "video"),
+) -> Dict[str, Any]:
+    """Map a reference state_dict onto a template parameter tree.
+
+    ``template_params`` is ``model.init(...)['params']`` of a
+    MultimodalClassifier built with the matching configuration; returned
+    tree has the same structure with imported values.
+    """
+    sd = {k: _t(v) for k, v in state_dict.items()}
+    params = copy.deepcopy(
+        template_params if isinstance(template_params, dict)
+        else dict(template_params)
+    )
+
+    def linear(prefix):
+        return {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
+
+    def layernorm(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    for modality in modalities:
+        enc_key = f"{modality}_encoder"
+        if enc_key not in params:
+            continue
+        enc = params[enc_key]
+        base = f"encoders.{modality}"
+
+        if f"{base}.rnn.weight_ih_l0" in sd:  # SequenceEncoder lstm/gru
+            layer = 0
+            while f"{base}.rnn.weight_ih_l{layer}" in sd:
+                node = enc["rnn"][f"layer_{layer}"]
+                node["w_ih"] = sd[f"{base}.rnn.weight_ih_l{layer}"].T
+                node["w_hh"] = sd[f"{base}.rnn.weight_hh_l{layer}"].T
+                b_ih = sd[f"{base}.rnn.bias_ih_l{layer}"]
+                b_hh = sd[f"{base}.rnn.bias_hh_l{layer}"]
+                if "b" in node:  # LSTM: fused bias
+                    node["b"] = b_ih + b_hh
+                else:  # GRU keeps both (reset gate is applied inside)
+                    node["b_ih"] = b_ih
+                    node["b_hh"] = b_hh
+                layer += 1
+            enc["projection"] = linear(f"{base}.projection")
+
+        elif f"{base}.frame_mlp.0.weight" in sd:  # FrameEncoder
+            enc["frame_mlp"] = linear(f"{base}.frame_mlp.0")
+            if f"{base}.attention.weight" in sd:
+                enc["pool"]["attention"] = linear(f"{base}.attention")
+            enc["proj_ln"] = layernorm(f"{base}.projection.0")
+            enc["projection"] = linear(f"{base}.projection.1")
+
+    if "fusion_head.0.weight" in sd:  # concat head (ref train.py:81-85)
+        params["head_in"] = linear("fusion_head.0")
+        params["head_out"] = linear("fusion_head.2")
+    return params
+
+
+def import_reference_checkpoint(
+    ckpt_path: str,
+    template_params: Dict[str, Any],
+    modalities=("audio", "video"),
+) -> Dict[str, Any]:
+    return import_reference_state_dict(
+        load_lightning_state_dict(ckpt_path), template_params, modalities
+    )
