@@ -23,20 +23,49 @@ import numpy as np
 from flax import serialization
 
 
-def save_checkpoint(path: Path, state: Any, meta: Dict[str, Any]) -> None:
+def save_checkpoint(
+    path: Path, state: Any, meta: Dict[str, Any], backend: str = "msgpack"
+) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    host_state = jax.device_get(state)
-    path.write_bytes(serialization.to_bytes(host_state))
+    if backend == "orbax":
+        _orbax_save(path, state)
+    else:
+        host_state = jax.device_get(state)
+        path.write_bytes(serialization.to_bytes(host_state))
     path.with_suffix(path.suffix + ".json").write_text(json.dumps(meta, indent=2))
 
 
 def restore_checkpoint(path: Path, target: Any) -> Tuple[Any, Dict[str, Any]]:
     path = Path(path)
-    state = serialization.from_bytes(target, path.read_bytes())
+    if path.is_dir():  # orbax checkpoints are directories
+        state = _orbax_restore(path, target)
+    else:
+        state = serialization.from_bytes(target, path.read_bytes())
     meta_path = path.with_suffix(path.suffix + ".json")
     meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
     return state, meta
+
+
+def _orbax_save(path: Path, state: Any) -> None:
+    """Orbax backend: preserves array shardings natively (useful once the
+    state is mesh-sharded and too large to gather to one host)."""
+    import shutil
+
+    import orbax.checkpoint as ocp
+
+    if path.exists():
+        shutil.rmtree(path, ignore_errors=True)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path.resolve(), state)
+
+
+def _orbax_restore(path: Path, target: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path.resolve(), item=target)
+    return restored
 
 
 class CheckpointManager:

@@ -225,3 +225,30 @@ def test_trainer_uses_mesh_automatically():
     t2.fit(train_loader2, val_loader2)
     single_losses = [row["val/loss"] for row in t2.history]
     np.testing.assert_allclose(mesh_losses, single_losses, rtol=2e-4)
+
+
+def test_mesh_trainer_resume(tmp_path):
+    """Checkpoint + resume under SPMD: restored host arrays re-shard."""
+    from multimodal_emotion_detection_tpu.training.loop import Trainer
+    from tests.test_train import make_loaders, tiny_config
+
+    def cfg_mesh():
+        cfg = tiny_config()
+        cfg.parallel.data_parallel = 2
+        cfg.parallel.model_parallel = 2
+        cfg.parallel.min_shard_dim = 16
+        return cfg
+
+    cfg = cfg_mesh()
+    cfg.training.max_epochs = 2
+    train_loader, val_loader, _ = make_loaders(cfg)
+    t1 = Trainer(cfg, save_dir=tmp_path)
+    t1.fit(train_loader, val_loader)
+
+    cfg2 = cfg_mesh()
+    cfg2.training.max_epochs = 4
+    train_loader2, val_loader2, _ = make_loaders(cfg2)
+    t2 = Trainer(cfg2, save_dir=tmp_path)
+    t2.fit(train_loader2, val_loader2, resume=True)
+    assert int(jax.device_get(t2.state.step)) == 4 * len(train_loader2)
+    assert np.isfinite(t2.history[-1]["val/loss"])

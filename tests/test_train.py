@@ -325,3 +325,20 @@ def test_train_cli_uncertainty_branch(tmp_path, monkeypatch):
     assert len(cm["bins"]) == cfg.evaluation.num_calibration_bins
     assert (tmp_path / "analysis" / "calibration_diagram.png").exists()
     assert "ece" in results
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_config()
+    train_loader, _, _ = make_loaders(cfg)
+    trainer = Trainer(cfg, save_dir=tmp_path)
+    trainer._build(train_loader)
+    state = trainer.state
+    save_checkpoint(tmp_path / "orbax.ckpt", state, {"epoch": 7},
+                    backend="orbax")
+    assert (tmp_path / "orbax.ckpt").is_dir()
+    zero = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored, meta = restore_checkpoint(tmp_path / "orbax.ckpt", zero)
+    assert meta["epoch"] == 7
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
