@@ -124,9 +124,6 @@ def main(argv=None):
             unc_list.append(np.asarray(unc))
         else:
             logits = forward(state.params, state.model_state, features, mask)
-        valid = np.asarray(mask).max(axis=1) > 0 if keep is None else (
-            np.ones(len(np.asarray(labels)), bool)
-        )
         logits_list.append(np.asarray(logits))
         labels_list.append(np.asarray(labels))
 
