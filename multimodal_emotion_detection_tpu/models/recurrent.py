@@ -284,6 +284,8 @@ class FusedStackedRNN(nn.Module):
     # opt-in Pallas in-kernel recurrence for deterministic (inference)
     # calls; measured 1.3x over the tuned scan on v5e (ops/lstm_kernel.py)
     inference_kernel: bool = False
+    # custom-VJP backward with hoisted weight gradients (2-layer LSTM)
+    custom_vjp: bool = True
 
     @nn.compact
     def __call__(
@@ -340,6 +342,34 @@ class FusedStackedRNN(nn.Module):
         use_dropout = (
             self.dropout > 0 and not deterministic and self.num_layers > 1
         )
+
+        # 2-layer LSTM: route through the custom-VJP implementation whose
+        # backward emits only the serial dgates chain and hoists every
+        # weight-gradient contraction out of the loop (the XLA-autodiff
+        # reverse scan was 4.4 ms vs 0.9 ms forward — ROADMAP.md table)
+        if (
+            self.custom_vjp
+            and self.cell_type == "lstm"
+            and self.num_layers == 2
+            and not (
+                self.inference_kernel
+                and deterministic
+                and not self.is_initializing()
+            )
+        ):
+            from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
+                fused_lstm2,
+            )
+
+            if use_dropout:
+                rng = self.make_rng("dropout")
+                keep_bt = jax.random.bernoulli(
+                    rng, 1.0 - self.dropout, (batch, t_len, h_dim)
+                ).astype(dtype) / (1.0 - self.dropout)
+            else:
+                keep_bt = jnp.ones((batch, t_len, h_dim), dtype)
+            ys, h_final = fused_lstm2(x, keep_bt, layers[0], layers[1])
+            return ys, h_final
         if use_dropout:
             rng = self.make_rng("dropout")
             keep = jax.random.bernoulli(

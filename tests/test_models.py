@@ -348,3 +348,52 @@ def test_inference_kernel_path_matches_scan():
     out_kernel = enc_kernel.apply(variables, x)  # same params, kernel path
     np.testing.assert_allclose(np.asarray(out_kernel), np.asarray(out_scan),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_custom_vjp_lstm_matches_autodiff_through_encoder():
+    """FusedStackedRNN's hoisted-gradient backward == plain autodiff."""
+    from multimodal_emotion_detection_tpu.models.recurrent import (
+        FusedStackedRNN,
+        StackedRNN,
+    )
+
+    x = jax.random.normal(KEY, (4, 21, 6))
+    ref = StackedRNN(hidden_dim=12, num_layers=2, cell_type="lstm")
+    variables = jax.jit(lambda k: ref.init(k, x))(KEY)
+    fused = FusedStackedRNN(hidden_dim=12, num_layers=2, cell_type="lstm")
+
+    def loss(module, v, x):
+        ys, h = module.apply(v, x)
+        return (ys ** 2).sum() * 0.1 + (h ** 3).sum()
+
+    val_ref, grad_ref = jax.value_and_grad(
+        lambda v: loss(ref, v, x)
+    )(variables)
+    val_f, grad_f = jax.value_and_grad(
+        lambda v: loss(fused, v, x)
+    )(variables)
+    np.testing.assert_allclose(float(val_f), float(val_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grad_f),
+                    jax.tree_util.tree_leaves(grad_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_custom_vjp_lstm_with_dropout_grads_finite():
+    from multimodal_emotion_detection_tpu.models.recurrent import (
+        FusedStackedRNN,
+    )
+
+    x = jax.random.normal(KEY, (4, 15, 6))
+    fused = FusedStackedRNN(hidden_dim=12, num_layers=2, cell_type="lstm",
+                            dropout=0.3)
+    variables = jax.jit(lambda k: fused.init(k, x))(KEY)
+
+    def loss(v):
+        ys, h = fused.apply(v, x, deterministic=False,
+                            rngs={"dropout": jax.random.PRNGKey(2)})
+        return (h ** 2).sum()
+
+    grads = jax.grad(loss)(variables)
+    assert all(bool(jnp.isfinite(leaf).all())
+               for leaf in jax.tree_util.tree_leaves(grads))
