@@ -350,7 +350,6 @@ class FusedStackedRNN(nn.Module):
         if (
             self.custom_vjp
             and self.cell_type == "lstm"
-            and self.num_layers == 2
             and not (
                 self.inference_kernel
                 and deterministic
@@ -358,17 +357,19 @@ class FusedStackedRNN(nn.Module):
             )
         ):
             from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
-                fused_lstm2,
+                fused_lstm,
             )
 
+            n_drop = self.num_layers - 1
             if use_dropout:
                 rng = self.make_rng("dropout")
                 keep_bt = jax.random.bernoulli(
-                    rng, 1.0 - self.dropout, (batch, t_len, h_dim)
+                    rng, 1.0 - self.dropout,
+                    (batch, t_len, n_drop, h_dim),
                 ).astype(dtype) / (1.0 - self.dropout)
             else:
-                keep_bt = jnp.ones((batch, t_len, h_dim), dtype)
-            ys, h_final = fused_lstm2(x, keep_bt, layers[0], layers[1])
+                keep_bt = jnp.ones((batch, t_len, n_drop, h_dim), dtype)
+            ys, h_final = fused_lstm(x, keep_bt, tuple(layers))
             return ys, h_final
         if use_dropout:
             rng = self.make_rng("dropout")

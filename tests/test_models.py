@@ -397,3 +397,90 @@ def test_custom_vjp_lstm_with_dropout_grads_finite():
     grads = jax.grad(loss)(variables)
     assert all(bool(jnp.isfinite(leaf).all())
                for leaf in jax.tree_util.tree_leaves(grads))
+
+
+@pytest.mark.parametrize("n_layers", [1, 3])
+def test_custom_vjp_lstm_n_layers(n_layers):
+    """The hoisted-gradient VJP generalizes to 1- and 3-layer LSTMs."""
+    from multimodal_emotion_detection_tpu.models.recurrent import (
+        FusedStackedRNN,
+        StackedRNN,
+    )
+
+    x = jax.random.normal(KEY, (3, 13, 5))
+    ref = StackedRNN(hidden_dim=8, num_layers=n_layers, cell_type="lstm")
+    variables = jax.jit(lambda k: ref.init(k, x))(KEY)
+    fused = FusedStackedRNN(hidden_dim=8, num_layers=n_layers,
+                            cell_type="lstm")
+
+    def loss(module, v):
+        ys, h = module.apply(v, x)
+        return (ys ** 2).sum() * 0.1 + (h ** 3).sum()
+
+    val_ref, grad_ref = jax.value_and_grad(lambda v: loss(ref, v))(variables)
+    val_f, grad_f = jax.value_and_grad(lambda v: loss(fused, v))(variables)
+    np.testing.assert_allclose(float(val_f), float(val_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grad_f),
+                    jax.tree_util.tree_leaves(grad_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_custom_vjp_dkeep_correct():
+    """d(loss)/d(keep-mask) of fused_lstm matches autodiff (3 layers)."""
+    from multimodal_emotion_detection_tpu.ops.lstm_vjp import fused_lstm
+
+    rng = np.random.RandomState(0)
+    B_, T_, D_, H_, L_ = 2, 9, 4, 8, 3
+    x = jnp.asarray(rng.randn(B_, T_, D_), jnp.float32)
+    keep = jnp.asarray(rng.rand(B_, T_, L_ - 1, H_), jnp.float32) + 0.5
+    k = 0.3
+    params = tuple(
+        {
+            "w_ih": jnp.asarray(
+                rng.uniform(-k, k, (D_ if i == 0 else H_, 4 * H_)),
+                jnp.float32),
+            "w_hh": jnp.asarray(rng.uniform(-k, k, (H_, 4 * H_)), jnp.float32),
+            "b": jnp.asarray(rng.uniform(-k, k, (4 * H_,)), jnp.float32),
+        }
+        for i in range(L_)
+    )
+
+    def ref_impl(x, keep, params):
+        x_tm = jnp.swapaxes(x, 0, 1)
+        keep_tm = jnp.transpose(keep, (1, 2, 0, 3))
+
+        def cell(h, c, g):
+            i, f, gg, o = jnp.split(g, 4, axis=-1)
+            c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(gg)
+            return jax.nn.sigmoid(o) * jnp.tanh(c2), c2
+
+        def step(carry, inp):
+            x_t, keep_t = inp
+            new = []
+            inp_l = x_t
+            for li, p in enumerate(params):
+                h, c = carry[li]
+                g = inp_l @ p["w_ih"] + p["b"] + h @ p["w_hh"]
+                h, c = cell(h, c, g)
+                new.append((h, c))
+                inp_l = h if li == L_ - 1 else h * keep_t[li]
+            return tuple(new), new[-1][0]
+
+        z = jnp.zeros((B_, H_), jnp.float32)
+        carry, ys = jax.lax.scan(step, tuple((z, z) for _ in range(L_)),
+                                 (x_tm, keep_tm))
+        return jnp.swapaxes(ys, 0, 1), carry[-1][0]
+
+    def loss(fn):
+        def inner(x, keep, params):
+            ys, h = fn(x, keep, params)
+            return (ys ** 2).sum() + (h * 0.7).sum()
+        return inner
+
+    g_fused = jax.grad(loss(fused_lstm), argnums=(0, 1, 2))(x, keep, params)
+    g_ref = jax.grad(loss(ref_impl), argnums=(0, 1, 2))(x, keep, params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fused),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
