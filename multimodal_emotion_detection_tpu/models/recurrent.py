@@ -349,7 +349,6 @@ class FusedStackedRNN(nn.Module):
         # reverse scan was 4.4 ms vs 0.9 ms forward — ROADMAP.md table)
         if (
             self.custom_vjp
-            and self.cell_type == "lstm"
             and not (
                 self.inference_kernel
                 and deterministic
@@ -357,6 +356,7 @@ class FusedStackedRNN(nn.Module):
             )
         ):
             from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
+                fused_gru,
                 fused_lstm,
             )
 
@@ -369,7 +369,8 @@ class FusedStackedRNN(nn.Module):
                 ).astype(dtype) / (1.0 - self.dropout)
             else:
                 keep_bt = jnp.ones((batch, t_len, n_drop, h_dim), dtype)
-            ys, h_final = fused_lstm(x, keep_bt, tuple(layers))
+            fn = fused_lstm if self.cell_type == "lstm" else fused_gru
+            ys, h_final = fn(x, keep_bt, tuple(layers))
             return ys, h_final
         if use_dropout:
             rng = self.make_rng("dropout")

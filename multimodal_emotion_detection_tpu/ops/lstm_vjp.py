@@ -208,3 +208,154 @@ def fused_lstm2(x, keep2, p0, p1):
     """2-layer convenience wrapper; keep2 is (B, T, H)."""
     keep = keep2[:, :, None, :]
     return fused_lstm(x, keep, (p0, p1))
+
+
+# ---------------------------------------------------------------------------
+# GRU twin: same hoisted-gradient structure, GRU cell math
+# ---------------------------------------------------------------------------
+
+
+def _gru_fwd_cell(h, ih_t, p):
+    hh = h @ p["w_hh"] + p["b_hh"]
+    xr, xz, xn = jnp.split(ih_t, 3, axis=-1)
+    hr, hz, hn = jnp.split(hh, 3, axis=-1)
+    r = _sig(xr + hr)
+    z = _sig(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h, (r, z, n, hn)
+
+
+def _gru_fwd_scan(x_tm, keep_tm, params):
+    t_len, batch, _ = x_tm.shape
+    n_layers = len(params)
+    h_dim = params[0]["w_hh"].shape[0]
+    ih0 = x_tm @ params[0]["w_ih"] + params[0]["b_ih"]
+
+    def step(carry, inp):
+        ih0_t, keep_t = inp
+        new_carry, res = [], []
+        x_l = None
+        for layer, p in enumerate(params):
+            h = carry[layer]
+            ih_t = ih0_t if layer == 0 else x_l @ p["w_ih"] + p["b_ih"]
+            h_new, acts = _gru_fwd_cell(h, ih_t, p)
+            res.append((h,) + acts + (x_l if layer > 0 else jnp.zeros((0,)),))
+            new_carry.append(h_new)
+            x_l = h_new
+            if layer < n_layers - 1:
+                x_l = x_l * keep_t[layer]
+        return tuple(new_carry), (new_carry[-1], tuple(res))
+
+    zeros = jnp.zeros((batch, h_dim), x_tm.dtype)
+    carry, (ys, res) = jax.lax.scan(
+        step, tuple(zeros for _ in range(n_layers)), (ih0, keep_tm), unroll=4
+    )
+    return carry, ys, res
+
+
+def _gru_cell_bwd(dh_t, h_prev, r, z, n, hn, p):
+    """Returns (dih (3H), dhh_pre (3H), dh_prev_direct)."""
+    dz = dh_t * (h_prev - n)
+    dn = dh_t * (1.0 - z)
+    dh_prev = dh_t * z
+    dn_pre = dn * (1.0 - n * n)
+    dxn = dn_pre
+    dhn = dn_pre * r
+    dr = dn_pre * hn
+    dr_pre = dr * r * (1.0 - r)
+    dz_pre = dz * z * (1.0 - z)
+    dih = jnp.concatenate([dr_pre, dz_pre, dxn], axis=-1)
+    dhh = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
+    return dih, dhh, dh_prev
+
+
+@jax.custom_vjp
+def fused_gru(x, keep, params: Tuple[dict, ...]):
+    """(B, T, D), keep (B, T, L-1, H) -> (ys (B, T, H), h_final (B, H))."""
+    x_tm = jnp.swapaxes(x, 0, 1)
+    carry, ys, _ = _gru_fwd_scan(x_tm, _keep_tm(keep), params)
+    return jnp.swapaxes(ys, 0, 1), carry[-1]
+
+
+def _gru_vjp_fwd(x, keep, params):
+    x_tm = jnp.swapaxes(x, 0, 1)
+    keep_tm = _keep_tm(keep)
+    carry, ys, res = _gru_fwd_scan(x_tm, keep_tm, params)
+    return (jnp.swapaxes(ys, 0, 1), carry[-1]), (x_tm, keep_tm, params, res,
+                                                 carry)
+
+
+def _gru_vjp_bwd(saved, grads):
+    x_tm, keep_tm, params, res, carry = saved
+    dys_bt, dh_final = grads
+    dys = jnp.swapaxes(dys_bt, 0, 1)
+    n_layers = len(params)
+    w_ih_t = [p["w_ih"].T for p in params]
+    w_hh_t = [p["w_hh"].T for p in params]
+
+    def step(carry_b, inp):
+        res_t, keep_t, dy = inp
+        dstates = list(carry_b)
+        dih_out = [None] * n_layers
+        dhh_out = [None] * n_layers
+        dx_up = None
+        for layer in reversed(range(n_layers)):
+            h_prev, r, z, n, hn, _ = res_t[layer]
+            dh_t = dstates[layer]
+            if layer == n_layers - 1:
+                dh_t = dh_t + dy
+            if dx_up is not None:
+                dh_t = dh_t + dx_up * keep_t[layer]
+            dih, dhh, dh_direct = _gru_cell_bwd(dh_t, h_prev, r, z, n, hn,
+                                                params[layer])
+            dih_out[layer] = dih
+            dhh_out[layer] = dhh
+            dstates[layer] = dh_direct + dhh @ w_hh_t[layer]
+            dx_up = dih @ w_ih_t[layer] if layer > 0 else None
+        return tuple(dstates), (tuple(dih_out), tuple(dhh_out))
+
+    batch = dys.shape[1]
+    h_dim = params[0]["w_hh"].shape[0]
+    zeros = jnp.zeros((batch, h_dim), dys.dtype)
+    init = tuple(
+        dh_final if layer == n_layers - 1 else zeros
+        for layer in range(n_layers)
+    )
+    _, (dih_series, dhh_series) = jax.lax.scan(
+        step, init, (res, keep_tm, dys), reverse=True, unroll=4
+    )
+
+    t_len = x_tm.shape[0]
+
+    def flat(a):
+        return a.reshape(t_len * batch, -1)
+
+    dparams = []
+    dkeep_layers = []
+    for layer in range(n_layers):
+        h_prev_s = res[layer][0]
+        x_l_s = res[layer][5]
+        x_series = x_tm if layer == 0 else x_l_s
+        dparams.append({
+            "w_ih": flat(x_series).T @ flat(dih_series[layer]),
+            "w_hh": flat(h_prev_s).T @ flat(dhh_series[layer]),
+            "b_ih": dih_series[layer].sum(axis=(0, 1)),
+            "b_hh": dhh_series[layer].sum(axis=(0, 1)),
+        })
+        if layer > 0:
+            dx_l = dih_series[layer] @ params[layer]["w_ih"].T
+            h_prev_below = res[layer - 1][0]
+            h_new_series = jnp.concatenate(
+                [h_prev_below[1:], carry[layer - 1][None]], axis=0
+            )
+            dkeep_layers.append(dx_l * h_new_series)
+
+    dx = jnp.swapaxes(dih_series[0] @ params[0]["w_ih"].T, 0, 1)
+    if dkeep_layers:
+        dkeep = jnp.transpose(jnp.stack(dkeep_layers, axis=1), (2, 0, 1, 3))
+    else:
+        dkeep = jnp.zeros((batch, t_len, 0, h_dim), x_tm.dtype)
+    return dx, dkeep, tuple(dparams)
+
+
+fused_gru.defvjp(_gru_vjp_fwd, _gru_vjp_bwd)

@@ -484,3 +484,29 @@ def test_custom_vjp_dkeep_correct():
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_layers", [1, 2])
+def test_custom_vjp_gru_matches_autodiff(n_layers):
+    from multimodal_emotion_detection_tpu.models.recurrent import (
+        FusedStackedRNN,
+        StackedRNN,
+    )
+
+    x = jax.random.normal(KEY, (3, 14, 5))
+    ref = StackedRNN(hidden_dim=8, num_layers=n_layers, cell_type="gru")
+    variables = jax.jit(lambda k: ref.init(k, x))(KEY)
+    fused = FusedStackedRNN(hidden_dim=8, num_layers=n_layers,
+                            cell_type="gru")
+
+    def loss(module, v):
+        ys, h = module.apply(v, x)
+        return (ys ** 2).sum() * 0.1 + (h ** 3).sum()
+
+    val_ref, grad_ref = jax.value_and_grad(lambda v: loss(ref, v))(variables)
+    val_f, grad_f = jax.value_and_grad(lambda v: loss(fused, v))(variables)
+    np.testing.assert_allclose(float(val_f), float(val_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grad_f),
+                    jax.tree_util.tree_leaves(grad_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
