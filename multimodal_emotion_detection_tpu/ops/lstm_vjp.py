@@ -1,4 +1,4 @@
-"""Custom VJP for the fused N-layer LSTM: hoisted weight gradients.
+"""Custom VJPs for fused N-layer LSTM/GRU: hoisted weight gradients.
 
 Why: XLA's automatic reverse scan accumulates every weight gradient
 *inside* the sequential loop — ~6 small latency-bound matmuls per step;
