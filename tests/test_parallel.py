@@ -252,3 +252,51 @@ def test_mesh_trainer_resume(tmp_path):
     t2.fit(train_loader2, val_loader2, resume=True)
     assert int(jax.device_get(t2.state.step)) == 4 * len(train_loader2)
     assert np.isfinite(t2.history[-1]["val/loss"])
+
+
+def test_custom_vjp_lstm_composes_with_mesh_and_vmap():
+    """The hoisted-gradient LSTM VJP must work under SPMD jit and vmap."""
+    from multimodal_emotion_detection_tpu.data.loader import MultimodalLoader
+    from multimodal_emotion_detection_tpu.data.synthetic import (
+        synthetic_arrays,
+    )
+    from multimodal_emotion_detection_tpu.models.classifier import (
+        MultimodalClassifier,
+    )
+    from multimodal_emotion_detection_tpu.parallel.vmap_sweep import (
+        vmapped_lr_sweep,
+    )
+    from multimodal_emotion_detection_tpu.training.loop import Trainer
+    from tests.test_train import tiny_config
+
+    # SPMD: mesh Trainer with an LSTM encoder (custom VJP inside)
+    cfg = tiny_config()
+    cfg.parallel.data_parallel = 2
+    cfg.parallel.model_parallel = 2
+    cfg.parallel.min_shard_dim = 16
+    cfg.dataset.modalities = ["s1"]
+    cfg.model.encoders = {
+        "s1": {"type": "sequence", "encoder_type": "lstm", "input_dim": 8,
+               "hidden_dim": 16, "num_layers": 2, "dropout": 0.1},
+    }
+    cfg.training.max_epochs = 1
+    from tests.test_train import make_loaders
+
+    train_loader, val_loader, _ = make_loaders(cfg)
+    trainer = Trainer(cfg, save_dir="/tmp/mesh_lstm")
+    trainer.fit(train_loader, val_loader)
+    assert np.isfinite(trainer.history[-1]["val/loss"])
+
+    # vmap: lr sweep over an LSTM model (custom VJP under vmap)
+    model = MultimodalClassifier(
+        modalities=("s1",),
+        encoder_configs={"s1": {"type": "sequence", "encoder_type": "lstm",
+                                "input_dim": 8, "hidden_dim": 16,
+                                "num_layers": 2, "dropout": 0.0}},
+        num_classes=4, output_dim=8, hidden_dim=16, dropout=0.0,
+    )
+    arrays = synthetic_arrays(16, 4, {"s1": 8}, 6, "train", seed=3)
+    loader = MultimodalLoader(arrays, batch_size=8, shuffle=True, seed=3)
+    results = vmapped_lr_sweep(model, loader, loader, [1e-3, 1e-2],
+                               epochs=1, seed=6)
+    assert all(np.isfinite(r["best_val_loss"]) for r in results)
