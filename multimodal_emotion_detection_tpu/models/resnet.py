@@ -25,12 +25,13 @@ class BasicBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    padding="SAME", use_bias=False, dtype=self.dtype, name="conv1")(x)
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=deterministic, dtype=self.dtype,
                          name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype, name="conv2")(y)
+        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=deterministic, dtype=self.dtype,
                          name="bn2")(y)
         if residual.shape != y.shape:
@@ -57,7 +58,8 @@ class Bottleneck(nn.Module):
                          name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    padding="SAME", use_bias=False, dtype=self.dtype, name="conv2")(y)
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=deterministic, dtype=self.dtype,
                          name="bn2")(y)
         y = nn.relu(y)
@@ -125,12 +127,18 @@ def load_torch_resnet_weights(
 
     Only usable when a checkpoint file exists locally; no downloads.
     """
-    import numpy as np
-    import torch
+    from collections.abc import Mapping
 
-    sd = torch.load(state_dict_path, map_location="cpu")
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
+    import numpy as np
+
+    if isinstance(state_dict_path, Mapping):
+        sd = dict(state_dict_path)  # a state_dict was passed directly
+    else:
+        import torch
+
+        sd = torch.load(state_dict_path, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
 
     def conv(name):
         return np.transpose(sd[name].numpy(), (2, 3, 1, 0))  # OIHW -> HWIO

@@ -166,3 +166,88 @@ def test_transformer_block_matches_torch():
     }
     ours = block.apply(variables, jnp.asarray(_np(x)))
     np.testing.assert_allclose(np.asarray(ours), _np(out_t), atol=2e-5)
+
+
+class _TorchBasicBlock(torch.nn.Module):
+    """torchvision BasicBlock wiring with matching parameter names."""
+
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(cout)
+        self.conv2 = torch.nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = torch.nn.Sequential(
+                torch.nn.Conv2d(cin, cout, 1, stride, bias=False),
+                torch.nn.BatchNorm2d(cout),
+            )
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return torch.relu(y + r)
+
+
+class _TorchResNet18(torch.nn.Module):
+    """torchvision-resnet18-shaped backbone (fc omitted)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(64)
+        self.maxpool = torch.nn.MaxPool2d(3, 2, 1)
+        for i, (cin, cout, stride) in enumerate(
+            [(64, 64, 1), (64, 128, 2), (128, 256, 2), (256, 512, 2)]
+        ):
+            layer = torch.nn.Sequential(
+                _TorchBasicBlock(cin, cout, stride),
+                _TorchBasicBlock(cout, cout, 1),
+            )
+            setattr(self, f"layer{i + 1}", layer)
+
+    def forward(self, x):
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = self.maxpool(y)
+        for i in range(4):
+            y = getattr(self, f"layer{i + 1}")(y)
+        return y.mean(dim=(2, 3))  # global average pool -> (B, 512)
+
+
+def test_resnet_torch_weight_import():
+    """load_torch_resnet_weights: a torchvision-layout state_dict produces
+    identical features from our flax ResNet."""
+    import jax
+
+    from multimodal_emotion_detection_tpu.models.resnet import (
+        ResNet,
+        load_torch_resnet_weights,
+    )
+
+    torch.manual_seed(5)
+    ref = _TorchResNet18().eval()
+    # randomize BN stats so running-average usage is actually exercised
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        feats_ref = ref(x).numpy()
+
+    net = ResNet(variant="resnet18")
+    x_jax = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))  # NCHW->NHWC
+    variables = jax.jit(lambda k: net.init(k, x_jax))(jax.random.PRNGKey(0))
+    imported = load_torch_resnet_weights(dict(variables), ref.state_dict(),
+                                         variant="resnet18")
+    feats = net.apply(
+        {"params": imported["params"],
+         "batch_stats": imported["batch_stats"]},
+        x_jax, deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(feats), feats_ref,
+                               rtol=1e-4, atol=1e-4)
