@@ -510,3 +510,24 @@ def test_custom_vjp_gru_matches_autodiff(n_layers):
                     jax.tree_util.tree_leaves(grad_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_image_cnn_encoder_rank4_and_rank5():
+    from multimodal_emotion_detection_tpu.models.encoders import (
+        ImageCNNEncoder,
+    )
+
+    enc = ImageCNNEncoder(backbone="resnet18", output_dim=OUT,
+                          temporal_pooling="attention")
+    imgs = jax.random.normal(KEY, (2, 32, 32, 3))
+    variables = _init(enc, imgs)
+    out4 = enc.apply(variables, imgs, mutable=False)
+    assert out4.shape == (2, OUT)
+
+    frames = jax.random.normal(KEY, (2, 3, 32, 32, 3))
+    v5 = _init(enc, frames)
+    out5 = enc.apply(v5, frames)
+    assert out5.shape == (2, OUT)
+    fmask = jnp.array([[1., 1., 0.], [1., 0., 0.]])
+    out5m = enc.apply(v5, frames, fmask)
+    assert not np.allclose(np.asarray(out5), np.asarray(out5m))

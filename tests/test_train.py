@@ -342,3 +342,34 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mfcc_frontend_trains():
+    """audio='mfcc' end to end (log-mel + DCT feeding the encoder)."""
+    cfg = tiny_config()
+    cfg.dataset.modalities = ["audio"]
+    cfg.model.encoders = {
+        "audio": {"type": "sequence", "encoder_type": "gru",
+                  "hidden_dim": 16, "num_layers": 1},
+    }
+    cfg.model.frontend.audio = "mfcc"
+    cfg.model.frontend.n_mfcc = 13
+    cfg.model.frontend.use_pallas = False
+    cfg.training.max_epochs = 1
+
+    from multimodal_emotion_detection_tpu.data.dataset import MultimodalArrays
+    from multimodal_emotion_detection_tpu.data.loader import MultimodalLoader
+
+    rng = np.random.RandomState(0)
+
+    def loader(seed):
+        arrays = MultimodalArrays(
+            features={"audio": rng.randn(16, 4096, 1).astype(np.float32)},
+            labels=rng.randint(0, 4, 16).astype(np.int32),
+            modalities=["audio"],
+        )
+        return MultimodalLoader(arrays, batch_size=8, shuffle=True, seed=seed)
+
+    trainer = Trainer(cfg, save_dir="/tmp/mfcc_train_test")
+    trainer.fit(loader(0), loader(1))
+    assert np.isfinite(trainer.history[-1]["val/loss"])
