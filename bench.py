@@ -32,7 +32,8 @@ import time
 import numpy as np
 
 
-def _build(frontend: str, batch: int, n_rows: int, seed: int = 0):
+def _build(frontend: str, batch: int, n_rows: int, seed: int = 0,
+           compute_dtype: str = "float32"):
     """frontend: 'raw' | 'logmel_xla' | 'logmel_pallas'."""
     import jax
     import jax.numpy as jnp
@@ -52,6 +53,7 @@ def _build(frontend: str, batch: int, n_rows: int, seed: int = 0):
         f"dataset.batch_size={batch}",
         "model.encoders.audio.hidden_dim=256",
         "model.encoders.video.input_dim=4096",
+        f"runtime.compute_dtype={compute_dtype}",
     ])
     if frontend.startswith("logmel"):
         cfg.model.frontend.audio = "logmel"
@@ -104,8 +106,11 @@ def _time_steps(state, step, features, labels, batch, n_rows, warmup, iters):
     return batch * iters / dt, state
 
 
-def run_one(frontend: str, batch: int, n_rows: int, warmup: int, iters: int):
-    state, step, features, labels = _build(frontend, batch, n_rows)
+def run_one(frontend: str, batch: int, n_rows: int, warmup: int, iters: int,
+            compute_dtype: str = "float32"):
+    state, step, features, labels = _build(
+        frontend, batch, n_rows, compute_dtype=compute_dtype
+    )
     cps, _ = _time_steps(
         state, step, features, labels, batch, n_rows, warmup, iters
     )
@@ -164,6 +169,12 @@ def main():
     # the safe measurements must already be banked by then
     fast_xla = run_one("logmel_xla", batch, n_rows, warmup=3, iters=30)
     base_cps = run_one("raw", batch, n_rows, warmup=2, iters=6)
+    # throughput-optimized point (configs/fast.yaml): larger batch + bf16
+    try:
+        peak_cps = run_one("logmel_pallas", 256, 256, warmup=2, iters=8,
+                           compute_dtype="bfloat16")
+    except Exception:
+        peak_cps = None
     fast_pallas = _pallas_subprocess(batch)
 
     candidates = {"logmel_xla": fast_xla}
@@ -182,6 +193,9 @@ def main():
         "logmel_xla_clips_per_sec": round(fast_xla, 2),
         "logmel_pallas_clips_per_sec": (
             round(fast_pallas, 2) if fast_pallas is not None else None
+        ),
+        "peak_clips_per_sec_b256_bf16": (
+            round(peak_cps, 2) if peak_cps is not None else None
         ),
         "platform": platform,
         "batch_size": batch,
