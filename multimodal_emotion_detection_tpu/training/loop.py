@@ -226,7 +226,11 @@ class Trainer:
                         base_key,
                     )
                     epoch_metrics.append(metrics)
-            jax.block_until_ready(self.state.params)
+            # sync via a VALUE FETCH: on the tunneled axon backend
+            # block_until_ready can return before execution completes,
+            # which would make the logged clips/sec dispatch-only
+            if epoch_metrics:
+                float(jax.device_get(epoch_metrics[-1]["loss"]))
             if profile_dir and epoch == min(1, cfg.training.max_epochs - 1):
                 jax.profiler.stop_trace()
             train_time = self.timer.stop(int(valid_all.sum()))
