@@ -23,7 +23,7 @@ of the plain scan to float32 tolerance (tests/test_models.py).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

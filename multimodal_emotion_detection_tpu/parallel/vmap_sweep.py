@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax import core, struct
+from flax import struct
 
 from multimodal_emotion_detection_tpu.data.masking import modality_dropout_mask
 
