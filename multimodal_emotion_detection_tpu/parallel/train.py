@@ -97,6 +97,7 @@ def make_sharded_train_step(
                 -(probs * jnp.log(jnp.clip(probs, min=1e-12))).sum(axis=-1)
                 * valid
             ).sum() / denom,
+            "count": valid.sum(),
         }
         return (
             state.replace(
@@ -131,7 +132,7 @@ def make_sharded_train_step(
                 out_shardings=(
                     st_shardings,
                     {"loss": rep, "acc": rep, "confidence_mean": rep,
-                     "entropy": rep},
+                     "entropy": rep, "count": rep},
                 ),
                 donate_argnums=(0,) if donate else (),
             )

@@ -240,12 +240,17 @@ class Trainer:
                     lambda *xs: jnp.stack(xs), *epoch_metrics
                 )
             )
+            # sample-weighted epoch means (batches may carry wrap padding)
+            weights = np.maximum(np.asarray(stacked["count"]), 1e-9)
+            weights = weights / weights.sum()
+
+            def wmean(key):
+                return float(np.sum(np.asarray(stacked[key]) * weights))
+
             train_row = {
-                "train/loss": float(np.mean(stacked["loss"])),
-                "train/acc": float(np.mean(stacked["acc"])),
-                "train/confidence_mean": float(
-                    np.mean(stacked["confidence_mean"])
-                ),
+                "train/loss": wmean("loss"),
+                "train/acc": wmean("acc"),
+                "train/confidence_mean": wmean("confidence_mean"),
             }
 
             # ---- validate ----

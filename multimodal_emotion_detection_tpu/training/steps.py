@@ -139,7 +139,8 @@ def make_train_step(
         )(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, **_batch_metrics(logits, batch_labels, valid)}
+        metrics = {"loss": loss, **_batch_metrics(logits, batch_labels, valid),
+                   "count": valid.sum()}
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
