@@ -125,3 +125,14 @@ def test_fast_yaml_loads():
     assert cfg.runtime.compute_dtype == "bfloat16"
     assert cfg.model.train_fusion == "library"
     assert cfg.model.encoders["audio"]["scan_unroll"] == 4
+
+
+def test_train_cli_arg_parsing():
+    from multimodal_emotion_detection_tpu.train import parse_args
+
+    args = parse_args(["--config", "c.yaml", "--resume",
+                       "training.learning_rate=1e-4", "seed=7"])
+    assert args.config == "c.yaml" and args.resume
+    assert args.overrides == ["training.learning_rate=1e-4", "seed=7"]
+    args2 = parse_args([])
+    assert args2.config is None and not args2.resume

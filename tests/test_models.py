@@ -531,3 +531,45 @@ def test_image_cnn_encoder_rank4_and_rank5():
     fmask = jnp.array([[1., 1., 0.], [1., 0., 0.]])
     out5m = enc.apply(v5, frames, fmask)
     assert not np.allclose(np.asarray(out5), np.asarray(out5m))
+
+
+def test_early_fusion_learned_missing_tokens():
+    """learned_missing=True substitutes a trained token for masked
+    modalities (a real option here; the reference gates on an attribute
+    that never exists, fusion.py:128-132)."""
+    dims = {"a": D, "b": D}
+    model = EarlyFusion(modality_dims=dims, hidden_dim=16, num_classes=5,
+                        learned_missing=True)
+    feats = {
+        "a": jax.random.normal(KEY, (B, D)),
+        "b": jax.random.normal(jax.random.PRNGKey(1), (B, D)),
+    }
+    variables = _init(model, feats, MIXED_MASK)
+    assert "missing_a" in variables["params"]
+    # with zero-init tokens, masked output == zero-fill output...
+    out = model.apply(variables, feats, MIXED_MASK)
+    # ...but a nonzero token changes masked rows only
+    bumped = jax.tree_util.tree_map(lambda x: x, variables)
+    bumped = {"params": dict(variables["params"])}
+    bumped["params"]["missing_b"] = jnp.ones((D,)) * 5.0
+    out2 = model.apply(bumped, feats, MIXED_MASK)
+    diff = np.abs(np.asarray(out) - np.asarray(out2)).max(axis=1)
+    assert diff[1] > 0  # sample 1 has modality b missing
+    assert diff[0] == pytest.approx(0.0, abs=1e-6)  # fully present rows
+
+
+def test_compute_adaptive_weights():
+    from multimodal_emotion_detection_tpu.models.fusion import (
+        compute_adaptive_weights,
+    )
+
+    feats = {
+        "a": jnp.ones((B, D)) * 3.0,  # big norm
+        "b": jnp.ones((B, D)) * 0.1,  # small norm
+    }
+    w = compute_adaptive_weights(feats, jnp.ones((B, 2)), ["a", "b"])
+    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, rtol=1e-5)
+    assert float(w[0, 0]) > float(w[0, 1])  # norm-based preference
+    # masked modality -> zero weight
+    w2 = compute_adaptive_weights(feats, MIXED_MASK, ["a", "b"])
+    assert float(w2[1, 1]) == 0.0
