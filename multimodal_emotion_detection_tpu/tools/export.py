@@ -52,6 +52,7 @@ def export_model(
     model = classifier_from_config(config)
     tx, _ = build_optimizer(config.training, steps_per_epoch=1)
     feats_all, _ = loader.device_arrays()
+    batch_size = min(batch_size, loader.num_samples)
     sample = {m: a[:batch_size] for m, a in feats_all.items()}
     template = create_train_state(
         model, tx, sample,
