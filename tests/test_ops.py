@@ -134,3 +134,24 @@ def test_lstm2_inference_kernel_matches_scan():
                                chunk=16, interpret=True)
     np.testing.assert_allclose(np.asarray(h_ker), np.asarray(h_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("full_unroll", [True, False])
+def test_lstm2_kernel_unroll_modes(full_unroll):
+    from multimodal_emotion_detection_tpu.models.recurrent import (
+        FusedStackedRNN,
+    )
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        lstm2_infer_pallas,
+    )
+
+    b, t, d, h = 8, 40, 6, 128
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, t, d))
+    ref = FusedStackedRNN(hidden_dim=h, num_layers=2, cell_type="lstm")
+    variables = jax.jit(lambda k: ref.init(k, x))(jax.random.PRNGKey(4))
+    _, h_ref = ref.apply(variables, x)
+    p = variables["params"]
+    h_ker = lstm2_infer_pallas(x, p["layer_0"], p["layer_1"], chunk=16,
+                               full_unroll=full_unroll, interpret=True)
+    np.testing.assert_allclose(np.asarray(h_ker), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-5)
