@@ -373,3 +373,41 @@ def test_mfcc_frontend_trains():
     trainer = Trainer(cfg, save_dir="/tmp/mfcc_train_test")
     trainer.fit(loader(0), loader(1))
     assert np.isfinite(trainer.history[-1]["val/loss"])
+
+
+def test_trainer_fully_deterministic(tmp_path):
+    """Same seed -> bitwise-identical history; different seed -> different."""
+    def run(seed, tag):
+        cfg = tiny_config()
+        cfg.seed = seed
+        cfg.training.max_epochs = 2
+        train_loader, val_loader, _ = make_loaders(cfg)
+        t = Trainer(cfg, save_dir=tmp_path / tag)
+        t.fit(train_loader, val_loader)
+        return [row["val/loss"] for row in t.history]
+
+    a = run(42, "a")
+    b = run(42, "b")
+    c = run(43, "c")
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_resume_equals_uninterrupted(tmp_path):
+    """2 epochs + resume to 4 == 4 epochs straight (same seeds/keys)."""
+    def fresh(max_epochs, tag, resume=False):
+        cfg = tiny_config()
+        cfg.training.max_epochs = max_epochs
+        train_loader, val_loader, _ = make_loaders(cfg)
+        t = Trainer(cfg, save_dir=tmp_path / tag)
+        t.fit(train_loader, val_loader, resume=resume)
+        return t
+
+    straight = fresh(4, "straight")
+    part1 = fresh(2, "resumed")
+    part2 = fresh(4, "resumed", resume=True)
+    np.testing.assert_allclose(
+        [row["val/loss"] for row in straight.history][2:],
+        [row["val/loss"] for row in part2.history],
+        rtol=1e-6,
+    )
