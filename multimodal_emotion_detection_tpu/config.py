@@ -89,6 +89,12 @@ class FrontendConfig:
     fmax: Optional[float] = None  # None -> sample_rate / 2
     log_epsilon: float = 1e-6
     n_mfcc: int = 40  # only for audio='mfcc'
+    # on-device video transform: 'none' expects ETL-flattened frames;
+    # 'resize' accepts raw (B, T, H, W[, 3]) frames and applies BGR->gray +
+    # exact-area resize + [0,1] scaling + flatten on the accelerator
+    video: str = "none"  # 'none' | 'resize'
+    video_height: int = 64
+    video_width: int = 64
     use_pallas: bool = True  # fall back to pure-XLA path off-TPU
 
 

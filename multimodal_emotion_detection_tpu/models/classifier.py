@@ -34,6 +34,10 @@ from multimodal_emotion_detection_tpu.ops.logmel import (
     log_mel_spectrogram,
     mfcc,
 )
+from multimodal_emotion_detection_tpu.ops.resize import (
+    area_resize,
+    bgr_to_gray,
+)
 
 
 class MultimodalClassifier(nn.Module):
@@ -51,6 +55,10 @@ class MultimodalClassifier(nn.Module):
     frontend_kind: str = "logmel"  # 'logmel' | 'mfcc' (when frontend set)
     frontend_n_mfcc: int = 40
     frontend_use_pallas: bool = True
+    # on-device video transform (BASELINE.json north star: "batched
+    # image-transform kernels feeding HBM-resident tensors")
+    video_frontend: str = "none"  # 'none' | 'resize'
+    video_hw: Tuple[int, int] = (64, 64)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self) -> None:
@@ -103,6 +111,19 @@ class MultimodalClassifier(nn.Module):
                 self.audio_frontend,
                 use_pallas=self.frontend_use_pallas,
             )
+        if (
+            modality == "video"
+            and self.video_frontend == "resize"
+            and features.ndim >= 4
+        ):
+            # (B, T, H, W[, 3]) raw frames -> gray -> area-resize -> [0,1]
+            # -> (B, T, h*w); transforms run as MXU matmuls (ops/resize.py)
+            x = features
+            if x.ndim == 5 and x.shape[-1] == 3:
+                x = bgr_to_gray(x)
+            h, w = self.video_hw
+            x = area_resize(x, h, w) / 255.0
+            return x.reshape(x.shape[0], x.shape[1], h * w)
         return features
 
     def encode(
@@ -210,5 +231,7 @@ def classifier_from_config(config) -> MultimodalClassifier:
         frontend_kind=fe.audio if fe.audio != "raw" else "logmel",
         frontend_n_mfcc=fe.n_mfcc,
         frontend_use_pallas=fe.use_pallas,
+        video_frontend=fe.video,
+        video_hw=(fe.video_height, fe.video_width),
         dtype=dtype,
     )

@@ -573,3 +573,32 @@ def test_compute_adaptive_weights():
     # masked modality -> zero weight
     w2 = compute_adaptive_weights(feats, MIXED_MASK, ["a", "b"])
     assert float(w2[1, 1]) == 0.0
+
+
+def test_on_device_video_frontend_matches_etl():
+    """video_frontend='resize' on raw frames == ETL's host-side transform."""
+    from multimodal_emotion_detection_tpu.ops.resize import area_resize_np
+
+    rng = np.random.RandomState(0)
+    raw = (rng.rand(2, 3, 48, 40, 3) * 255).astype(np.float32)  # BGR frames
+    # ETL path: BT.601 gray -> area resize -> /255 -> flatten
+    gray = raw @ np.array([0.114, 0.587, 0.299], np.float32)
+    etl = area_resize_np(gray, 16, 16) / 255.0
+    etl = etl.reshape(2, 3, 256)
+
+    enc_cfg = {"video": {"type": "frame", "input_dim": 256,
+                         "hidden_dim": 8, "dropout": 0.0}}
+    clf_etl = MultimodalClassifier(
+        modalities=("video",), encoder_configs=enc_cfg, num_classes=4,
+        output_dim=6, hidden_dim=8,
+    )
+    clf_raw = MultimodalClassifier(
+        modalities=("video",), encoder_configs=enc_cfg, num_classes=4,
+        output_dim=6, hidden_dim=8,
+        video_frontend="resize", video_hw=(16, 16),
+    )
+    variables = _init(clf_etl, {"video": jnp.asarray(etl)})
+    out_etl = clf_etl.apply(variables, {"video": jnp.asarray(etl)})
+    out_raw = clf_raw.apply(variables, {"video": jnp.asarray(raw)})
+    np.testing.assert_allclose(np.asarray(out_raw), np.asarray(out_etl),
+                               rtol=1e-4, atol=1e-5)
