@@ -17,6 +17,7 @@ over rng keys) and a ``dtype`` for bf16 compute with fp32 params.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -28,6 +29,9 @@ from multimodal_emotion_detection_tpu.models.recurrent import (
     StackedRNN,
 )
 from multimodal_emotion_detection_tpu.models.resnet import ResNet
+from multimodal_emotion_detection_tpu.ops.flash_attention import (
+    flash_attention,
+)
 
 
 def masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray], axis: int = 1):
@@ -68,6 +72,48 @@ class AttentionPool(nn.Module):
         return jnp.einsum("bt,bth->bh", weights, frames)
 
 
+class _FlashSelfAttention(nn.Module):
+    """Self-attention through the Pallas flash kernel (ops/flash_attention).
+
+    The q/k/v/out projections are DenseGeneral with the exact parameter
+    tree of ``nn.MultiHeadDotProductAttention`` — a checkpoint trained on
+    the XLA path loads on the flash path unchanged (and vice versa); the
+    two paths agree to ~1e-5 (tests/test_ops.py).
+    """
+
+    num_heads: int
+    qkv_features: int
+    dtype: jnp.dtype = jnp.float32
+    interpret: bool = False  # tests: run the kernel in interpret mode
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, T, F)
+        key_padding_mask: Optional[jnp.ndarray] = None,  # (B, T) True=valid
+    ) -> jnp.ndarray:
+        head_dim = self.qkv_features // self.num_heads
+        proj = functools.partial(
+            nn.DenseGeneral,
+            features=(self.num_heads, head_dim),
+            axis=-1,
+            dtype=self.dtype,
+        )
+        # (B, T, H, Dh) -> (B, H, T, Dh)
+        q = proj(name="query")(x).transpose(0, 2, 1, 3)
+        k = proj(name="key")(x).transpose(0, 2, 1, 3)
+        v = proj(name="value")(x).transpose(0, 2, 1, 3)
+        bias = None
+        if key_padding_mask is not None:
+            bias = jnp.where(key_padding_mask.astype(bool), 0.0, -1e9)
+        interpret = self.interpret or jax.default_backend() != "tpu"
+        out = flash_attention(q, k, v, bias, interpret=interpret)
+        out = out.transpose(0, 2, 1, 3)  # (B, T, H, Dh)
+        return nn.DenseGeneral(
+            features=x.shape[-1], axis=(-2, -1), dtype=self.dtype, name="out"
+        )(out)
+
+
 class TransformerBlock(nn.Module):
     """Post-LN encoder layer (torch nn.TransformerEncoderLayer semantics:
     x = LN(x + MHA(x)); x = LN(x + GELU-FFN(x))), ref encoders.py:96-113."""
@@ -76,6 +122,8 @@ class TransformerBlock(nn.Module):
     num_heads: int = 4
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False  # Pallas flash kernel (ops/flash_attention.py)
+    flash_interpret: bool = False
 
     @nn.compact
     def __call__(
@@ -84,18 +132,31 @@ class TransformerBlock(nn.Module):
         key_padding_mask: Optional[jnp.ndarray] = None,  # (B, T) True=valid
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        attn_mask = None
-        if key_padding_mask is not None:
-            # (B, 1, 1, T): broadcast over heads and query positions
-            attn_mask = key_padding_mask[:, None, None, :].astype(bool)
-        attn_out = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            qkv_features=self.hidden_dim,
-            dropout_rate=self.dropout,
-            deterministic=deterministic,
-            dtype=self.dtype,
-            name="self_attn",
-        )(x, x, mask=attn_mask)
+        # The flash kernel does not implement attention-probability dropout
+        # (the usual flash trade); when attn dropout would be active, fall
+        # back to the XLA path.  Both paths build the identical "self_attn"
+        # parameter tree, so the routing is checkpoint-transparent.
+        if self.use_flash and (deterministic or self.dropout == 0.0):
+            attn_out = _FlashSelfAttention(
+                num_heads=self.num_heads,
+                qkv_features=self.hidden_dim,
+                dtype=self.dtype,
+                interpret=self.flash_interpret,
+                name="self_attn",
+            )(x, key_padding_mask=key_padding_mask)
+        else:
+            attn_mask = None
+            if key_padding_mask is not None:
+                # (B, 1, 1, T): broadcast over heads and query positions
+                attn_mask = key_padding_mask[:, None, None, :].astype(bool)
+            attn_out = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads,
+                qkv_features=self.hidden_dim,
+                dropout_rate=self.dropout,
+                deterministic=deterministic,
+                dtype=self.dtype,
+                name="self_attn",
+            )(x, x, mask=attn_mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(x + attn_out)
         h = nn.Dense(self.hidden_dim * 4, dtype=self.dtype, name="ffn_in")(x)
         h = nn.gelu(h, approximate=False)  # torch F.gelu is the exact erf form
@@ -126,6 +187,8 @@ class SequenceEncoder(nn.Module):
     inference_kernel: bool = False  # Pallas in-kernel recurrence at eval
     max_len: int = 4096
     attention_block: int = 512  # local-attention block size past max_len
+    use_flash: bool = False  # Pallas flash attention in transformer blocks
+    flash_interpret: bool = False
 
     @nn.compact
     def __call__(
@@ -248,6 +311,8 @@ class SequenceEncoder(nn.Module):
                     num_heads=4,
                     dropout=self.dropout,
                     dtype=self.dtype,
+                    use_flash=self.use_flash,
+                    flash_interpret=self.flash_interpret,
                     name=f"block_{i}",
                 )(h, key_padding_mask=block_valid, deterministic=deterministic)
 
@@ -459,6 +524,7 @@ def build_encoder(
             scan_unroll=cfg.pop("scan_unroll", 4),
             fused=cfg.pop("fused", True),
             inference_kernel=cfg.pop("inference_kernel", False),
+            use_flash=cfg.pop("use_flash", False),
             dtype=dtype,
             name=f"{modality}_encoder",
         )

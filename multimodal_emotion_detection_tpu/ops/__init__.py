@@ -16,3 +16,7 @@ from multimodal_emotion_detection_tpu.ops.lstm_vjp import (  # noqa: F401
     fused_gru,
     fused_lstm,
 )
+from multimodal_emotion_detection_tpu.ops.flash_attention import (  # noqa: F401
+    attention_reference,
+    flash_attention,
+)

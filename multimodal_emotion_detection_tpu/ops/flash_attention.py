@@ -1,0 +1,392 @@
+"""Pallas TPU flash attention (forward + custom-VJP backward).
+
+The transformer encoder variant (ref /root/reference/src/encoders.py:96-113)
+is the slowest encoder after the LSTM custom-VJP work
+(benchmarks/tpu_ablation.json: 5.57 ms/step vs 3.69 for the LSTM flagship)
+because XLA materializes the (B, H, T, T) score tensor in HBM twice per
+layer (forward + backward).  This kernel streams K/V blocks through VMEM
+with an online softmax so scores never touch HBM:
+
+* forward: one pass, running (m, l, acc) in VMEM scratch across the KV
+  grid dimension; writes O and the per-row logsumexp (LSE);
+* backward: two recompute kernels (flash style) — a dQ pass gridded over
+  query blocks and a dK/dV pass gridded over key blocks — using the saved
+  LSE, so backward also never materializes scores.
+
+Numerics match ``attention_reference`` (plain XLA softmax attention, the
+same math flax's ``MultiHeadDotProductAttention`` computes) to ~1e-5 in
+f32; masking uses an additive key bias (0 valid / -1e9 masked), the same
+convention as models/attention.py.
+
+Row stats (m, l, lse, delta) are carried lanes-replicated at width 128
+(``_LANES``) — scalar-per-sublane columns are not a supported Mosaic
+layout, replicated lanes are.
+
+Validated on a real v5e chip (benchmarks/flash_attention_tpu.json):
+forward beats XLA at every measured shape; end-to-end (fwd+bwd) flash is
+~1.9x at T=3000 but ~0.77x at the flagship T=375 (backward recompute isn't
+amortized at short T), so ``use_flash`` stays opt-in from the encoder
+(models/encoders.py) — turn it on for long sequences or inference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_LANES = 128
+_NEG_INF = -1e30
+_MASKED = -1e9  # additive bias for masked keys (matches models/attention.py)
+
+
+def attention_reference(
+    q: jnp.ndarray,  # (B, H, Tq, D)
+    k: jnp.ndarray,  # (B, H, Tk, D)
+    v: jnp.ndarray,  # (B, H, Tk, D)
+    bias: Optional[jnp.ndarray] = None,  # (B, Tk) additive on keys
+) -> jnp.ndarray:
+    """Plain XLA softmax attention with the same scale/bias conventions."""
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk",
+        q.astype(jnp.float32),
+        k.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale
+    if bias is not None:
+        s = s + bias[:, None, None, :].astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        p,
+        v.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, b_ref,  # ins
+    o_ref, lse_ref,  # outs
+    m_scr, l_scr, acc_scr,  # VMEM scratch, persistent across the kv grid dim
+    *, scale: float, nk: int,
+):
+    from jax.experimental import pallas as pl
+
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, _NEG_INF, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (bq, D)
+    k = k_ref[0, 0].astype(jnp.float32)  # (bk, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bk)
+    s = s + b_ref[0].astype(jnp.float32)  # (1, bk) broadcasts over rows
+
+    m_prev = m_scr[...]  # (bq, 128) lanes-replicated
+    m_next = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])  # (bq, 1)
+    p = jnp.exp(s - m_next[:, :1])  # (bq, bk)
+    l_next = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+
+    m_scr[...] = m_next
+    l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+    acc_scr[...] = acc_scr[...] * alpha + jnp.dot(
+        p, v_ref[0, 0].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        o_ref[0, 0] = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_scr[...] + jnp.log(l_scr[...])
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, delta_ref,  # ins
+    dq_ref,  # out
+    dq_scr,  # scratch
+    *, scale: float, nk: int,
+):
+    from jax.experimental import pallas as pl
+
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale + b_ref[0].astype(jnp.float32)
+    p = jnp.exp(s - lse_ref[0, 0][:, :1])  # (bq, bk)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    ds = p * (dp - delta_ref[0, 0][:, :1]) * scale
+    dq_scr[...] = dq_scr[...] + jnp.dot(
+        ds, k, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, delta_ref,  # ins
+    dk_ref, dv_ref,  # outs
+    dk_scr, dv_scr,  # scratch
+    *, scale: float, nq: int,
+):
+    from jax.experimental import pallas as pl
+
+    iq = pl.program_id(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
+        dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (bq, D)
+    k = k_ref[0, 0].astype(jnp.float32)  # (bk, D)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)  # (bq, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale + b_ref[0].astype(jnp.float32)
+    p = jnp.exp(s - lse_ref[0, 0][:, :1])  # (bq, bk)
+    # dV += P^T @ dO ; contract the query dim of both
+    dv_scr[...] = dv_scr[...] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_ref[0, 0][:, :1]) * scale  # (bq, bk)
+    # dK += dS^T @ Q
+    dk_scr[...] = dk_scr[...] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(iq == nq - 1)
+    def _finish():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing (operates on pre-padded, block-aligned shapes)
+# ---------------------------------------------------------------------------
+
+
+def _specs(block_q, block_k, d, kv_minor):
+    """BlockSpecs for (q, k, v, bias[, do, lse, delta]) on grid
+    (B, H, major, minor).  ``kv_minor=True`` puts k/v on the minor
+    (sequential) grid dim (forward / dQ); False puts q there (dK/dV)."""
+    from jax.experimental import pallas as pl
+
+    mi = (lambda b, h, i, j: (b, h, j, 0)) if kv_minor else (
+        lambda b, h, i, j: (b, h, i, 0))
+    ma = (lambda b, h, i, j: (b, h, i, 0)) if kv_minor else (
+        lambda b, h, i, j: (b, h, j, 0))
+    q_spec = pl.BlockSpec((1, 1, block_q, d), ma)
+    kv_spec = pl.BlockSpec((1, 1, block_k, d), mi)
+    # bias travels as (B, 1, Tk): a (1, 1, block_k) block satisfies Mosaic's
+    # sublane rule (block dim == full array dim), which (1, block_k) on a
+    # (B, Tk) array does not
+    bias_spec = pl.BlockSpec(
+        (1, 1, block_k), (lambda b, h, i, j: (b, 0, j)) if kv_minor else (
+            lambda b, h, i, j: (b, 0, i)))
+    row_spec = pl.BlockSpec((1, 1, block_q, _LANES), ma)  # lse/delta
+    return q_spec, kv_spec, bias_spec, row_spec
+
+
+def _flash_fwd_call(q, k, v, bias, block_q, block_k, scale, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, heads, tq, d = q.shape
+    tk = k.shape[2]
+    nq, nk = tq // block_q, tk // block_k
+    q_spec, kv_spec, bias_spec, row_spec = _specs(block_q, block_k, d, True)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, nk=nk),
+        grid=(batch, heads, nq, nk),
+        in_specs=[q_spec, kv_spec, kv_spec, bias_spec],
+        out_specs=[q_spec, row_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((batch, heads, tq, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias)
+    return out, lse
+
+
+def _flash_bwd_call(q, k, v, bias, do, lse, delta, block_q, block_k, scale,
+                    interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, heads, tq, d = q.shape
+    tk = k.shape[2]
+    nq, nk = tq // block_q, tk // block_k
+
+    q_spec, kv_spec, bias_spec, row_spec = _specs(block_q, block_k, d, True)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, nk=nk),
+        grid=(batch, heads, nq, nk),
+        in_specs=[q_spec, kv_spec, kv_spec, bias_spec, q_spec, row_spec,
+                  row_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias, do, lse, delta)
+
+    q_spec, kv_spec, bias_spec, row_spec = _specs(block_q, block_k, d, False)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq),
+        grid=(batch, heads, nk, nq),
+        in_specs=[q_spec, kv_spec, kv_spec, bias_spec, q_spec, row_spec,
+                  row_spec],
+        out_specs=[kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp over block-aligned shapes
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_aligned(q, k, v, bias, block_q, block_k, scale, interpret):
+    out, _ = _flash_fwd_call(q, k, v, bias, block_q, block_k, scale,
+                             interpret)
+    return out
+
+
+def _flash_aligned_fwd(q, k, v, bias, block_q, block_k, scale, interpret):
+    out, lse = _flash_fwd_call(q, k, v, bias, block_q, block_k, scale,
+                               interpret)
+    return out, (q, k, v, bias, out, lse)
+
+
+def _flash_aligned_bwd(block_q, block_k, scale, interpret, res, do):
+    q, k, v, bias, out, lse = res
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )
+    delta = jnp.broadcast_to(delta, delta.shape[:-1] + (_LANES,))
+    dq, dk, dv = _flash_bwd_call(q, k, v, bias, do, lse, delta,
+                                 block_q, block_k, scale, interpret)
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+_flash_aligned.defvjp(_flash_aligned_fwd, _flash_aligned_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+def flash_attention(
+    q: jnp.ndarray,  # (B, H, Tq, D)
+    k: jnp.ndarray,  # (B, H, Tk, D)
+    v: jnp.ndarray,  # (B, H, Tk, D)
+    bias: Optional[jnp.ndarray] = None,  # (B, Tk): 0 valid / -1e9 masked
+    *,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable flash self/cross attention; O(T) HBM, scores in VMEM.
+
+    Handles arbitrary Tq/Tk by zero-padding to block alignment (padded keys
+    are bias-masked; padded query rows are sliced away).  The head dim is
+    never padded or blocked — a block equal to the full array dim is a
+    legal Mosaic layout at any width, and padding D costs real MXU FLOPs
+    (measured 1.5x slower at D=64 padded to 128).  Scale is 1/sqrt(D), the
+    flax/torch convention.
+
+    Default 512-blocks: at the flagship shape (T=375) the whole sequence is
+    a single block, so the grid is (B, H) with no online-softmax overhead;
+    long sequences stream in 512-key chunks (s block = 1 MB VMEM).
+    """
+    batch, heads, tq, d = q.shape
+    tk = k.shape[2]
+    if min(batch, heads, tq, tk, d) < 1:
+        raise ValueError(
+            f"flash_attention: empty dimension in q{q.shape} / k{k.shape}"
+        )
+    if bias is None:
+        bias = jnp.zeros((batch, tk), jnp.float32)
+    elif bias.shape != (batch, tk):
+        raise ValueError(
+            f"flash_attention: bias shape {bias.shape} != (batch, Tk) = "
+            f"({batch}, {tk})"
+        )
+    scale = float(1.0 / (d ** 0.5))
+
+    def round8(n: int) -> int:  # Mosaic sublane granule
+        return ((n + 7) // 8) * 8
+
+    block_q = min(block_q, round8(tq))
+    block_k = min(block_k, round8(tk))
+    pad_q = (-tq) % block_q
+    pad_k = (-tk) % block_k
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    bp = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, pad_k)),
+                 constant_values=_MASKED)[:, None, :]
+
+    out = _flash_aligned(qp, kp, vp, bp, block_q, block_k, scale, interpret)
+    return out[:, :, :tq, :]

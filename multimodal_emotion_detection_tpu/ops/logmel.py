@@ -124,6 +124,13 @@ def logmel_frames(wave: jnp.ndarray, params: LogMelParams) -> jnp.ndarray:
         wave = wave[..., 0]
     b, t = wave.shape
     f = params.num_frames(t)
+    if f < 1:
+        raise ValueError(
+            f"log-mel frontend: waveform of {t} samples is shorter than one "
+            f"STFT window (n_fft={params.n_fft}) — 0 frames. Check that the "
+            "audio input is a raw waveform (e.g. dataset.sequence_length too "
+            "small for model.frontend.audio='logmel')."
+        )
     cos_b, sin_b = _dft_basis_np(params.n_fft, params.win_length)
     melw = mel_filterbank(params)
 
@@ -298,6 +305,13 @@ def log_mel_spectrogram(
     reference otherwise.  Both paths are numerically identical (same basis
     and filterbank constants; tested to ~1e-5)."""
     t = wave.shape[1]
+    if params.num_frames(t) < 1:
+        raise ValueError(
+            f"log-mel frontend: waveform of {t} samples is shorter than one "
+            f"STFT window (n_fft={params.n_fft}) — 0 frames. Check that the "
+            "audio input is a raw waveform (e.g. dataset.sequence_length too "
+            "small for model.frontend.audio='logmel')."
+        )
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas and (on_tpu or interpret) and _pallas_supported(params, t):
         return logmel_pallas(wave, params, interpret=interpret)

@@ -155,3 +155,136 @@ def test_lstm2_kernel_unroll_modes(full_unroll):
                                full_unroll=full_unroll, interpret=True)
     np.testing.assert_allclose(np.asarray(h_ker), np.asarray(h_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# flash attention (ops/flash_attention.py), interpret mode
+# ---------------------------------------------------------------------------
+
+
+def _qkv(rng, b, h, t, d):
+    return tuple(
+        jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+        for _ in range(3)
+    )
+
+
+def test_flash_attention_forward_matches_reference():
+    from multimodal_emotion_detection_tpu.ops.flash_attention import (
+        attention_reference,
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    q, k, v = _qkv(rng, 2, 4, 200, 64)  # T, D both off-alignment
+    mask = jnp.asarray(rng.random((2, 200)) > 0.2)
+    bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+    out = flash_attention(q, k, v, bias, interpret=True)
+    ref = attention_reference(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_attention_grads_match_reference():
+    from multimodal_emotion_detection_tpu.ops.flash_attention import (
+        attention_reference,
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(1)
+    q, k, v = _qkv(rng, 2, 2, 130, 32)
+    bias = jnp.where(jnp.asarray(rng.random((2, 130)) > 0.3), 0.0, -1e9)
+    cot = jnp.asarray(rng.standard_normal((2, 2, 130, 32)), jnp.float32)
+
+    def loss(f):
+        def inner(q, k, v):
+            return jnp.sum(f(q, k, v, bias) * cot)
+        return jax.grad(inner, argnums=(0, 1, 2))(q, k, v)
+
+    got = loss(lambda *a: flash_attention(*a, interpret=True))
+    want = loss(attention_reference)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attention_no_mask_and_uneven_blocks():
+    from multimodal_emotion_detection_tpu.ops.flash_attention import (
+        attention_reference,
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(2)
+    q, k, v = _qkv(rng, 1, 2, 300, 48)
+    out = flash_attention(q, k, v, block_q=128, block_k=256, interpret=True)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_self_attention_module_matches_flax_mha():
+    """Same params, flash path vs flax MultiHeadDotProductAttention."""
+    from flax import linen as nn
+
+    from multimodal_emotion_detection_tpu.models.encoders import (
+        _FlashSelfAttention,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 50, 64)), jnp.float32)
+    mask = jnp.asarray(rng.random((2, 50)) > 0.2)
+
+    flash = _FlashSelfAttention(num_heads=4, qkv_features=64, interpret=True)
+    params = flash.init(jax.random.PRNGKey(0), x, mask)
+
+    mha = nn.MultiHeadDotProductAttention(
+        num_heads=4, qkv_features=64, dropout_rate=0.0, deterministic=True
+    )
+    # identical parameter tree: the flax module accepts the flash params
+    ref = mha.apply(params, x, x, mask=mask[:, None, None, :])
+    out = flash.apply(params, x, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_transformer_encoder_flash_matches_xla_path():
+    """SequenceEncoder(use_flash=True) == use_flash=False on shared params."""
+    from multimodal_emotion_detection_tpu.models.encoders import (
+        SequenceEncoder,
+    )
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((3, 80, 40)), jnp.float32)
+    lengths = jnp.asarray([80, 31, 55])
+    kw = dict(input_dim=40, hidden_dim=64, output_dim=32, num_layers=2,
+              encoder_type="transformer", dropout=0.3)
+    xla_enc = SequenceEncoder(**kw)
+    flash_enc = SequenceEncoder(**kw, use_flash=True, flash_interpret=True)
+    params = xla_enc.init(jax.random.PRNGKey(0), x, lengths)
+    ref = xla_enc.apply(params, x, lengths, deterministic=True)
+    out = flash_enc.apply(params, x, lengths, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_transformer_flash_trains():
+    """Gradients flow through the flash path (dropout=0 keeps it active)."""
+    from multimodal_emotion_detection_tpu.models.encoders import (
+        SequenceEncoder,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 40, 16)), jnp.float32)
+    enc = SequenceEncoder(input_dim=16, hidden_dim=32, output_dim=8,
+                          num_layers=1, encoder_type="transformer",
+                          dropout=0.0, use_flash=True, flash_interpret=True)
+    params = enc.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.sum(enc.apply(p, x, deterministic=False,
+                                 rngs={"dropout": jax.random.PRNGKey(1)}) ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
