@@ -9,24 +9,30 @@ with an online softmax so scores never touch HBM:
 
 * forward: one pass, running (m, l, acc) in VMEM scratch across the KV
   grid dimension; writes O and the per-row logsumexp (LSE);
-* backward: two recompute kernels (flash style) — a dQ pass gridded over
-  query blocks and a dK/dV pass gridded over key blocks — using the saved
-  LSE, so backward also never materializes scores.
+* backward: ONE fused kv-major recompute kernel when the kv-block count
+  is small (the common case): dK/dV accumulate in VMEM scratch across the
+  q-minor grid dim while per-kv-block dQ partials land in distinct output
+  blocks (summed outside) — 5 matmuls per block pair instead of the
+  classic 7 (separate dQ pass), which is kept as the fallback for very
+  long sequences where the partials would outgrow the saved recompute.
+  Either way scores never touch HBM.
 
 Numerics match ``attention_reference`` (plain XLA softmax attention, the
 same math flax's ``MultiHeadDotProductAttention`` computes) to ~1e-5 in
 f32; masking uses an additive key bias (0 valid / -1e9 masked), the same
 convention as models/attention.py.
 
-Row stats (m, l, lse, delta) are carried lanes-replicated at width 128
-(``_LANES``) — scalar-per-sublane columns are not a supported Mosaic
-layout, replicated lanes are.
+Row stats (m, l) live lanes-replicated at width 128 in VMEM scratch;
+the HBM-resident stats (lse, delta) are stored at width ``_STAT_LANES=8``
+— a block equal to the full last dim is a legal Mosaic layout at any
+width, and 128-replicated HBM stats measured 25 MB of pure bloat per
+array at the flagship shape.
 
-Validated on a real v5e chip (benchmarks/flash_attention_tpu.json):
-forward beats XLA at every measured shape; end-to-end (fwd+bwd) flash is
-~1.9x at T=3000 but ~0.77x at the flagship T=375 (backward recompute isn't
-amortized at short T), so ``use_flash`` stays opt-in from the encoder
-(models/encoders.py) — turn it on for long sequences or inference.
+Validated on a real v5e chip (benchmarks/flash_attention_tpu.json),
+min-of-3x30 fetch-synced reps: training (fwd+bwd) beats XLA at every
+measured shape — 1.08x at the flagship T=375, 1.99x at T=3000, 2.35x at
+T=8192.  Forward-only at short T stays XLA's (overhead-dominated regime);
+``use_flash`` is opt-in from the encoder (models/encoders.py).
 """
 
 from __future__ import annotations
@@ -37,7 +43,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_LANES = 128
+_LANES = 128  # VMEM scratch stat width
+_STAT_LANES = 8  # HBM lse/delta stat width
 _NEG_INF = -1e30
 _MASKED = -1e9  # additive bias for masked keys (matches models/attention.py)
 
@@ -111,7 +118,7 @@ def _fwd_kernel(
     @pl.when(ik == nk - 1)
     def _finish():
         o_ref[0, 0] = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_scr[...] + jnp.log(l_scr[...])
+        lse_ref[0, 0] = (m_scr[...] + jnp.log(l_scr[...]))[:, :_STAT_LANES]
 
 
 def _bwd_dq_kernel(
@@ -155,6 +162,33 @@ def _bwd_dkv_kernel(
     dk_scr, dv_scr,  # scratch
     *, scale: float, nq: int,
 ):
+    _bwd_kv_major(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, delta_ref,
+                  None, dk_ref, dv_ref, dk_scr, dv_scr, scale=scale, nq=nq)
+
+
+def _bwd_fused_kernel(
+    q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, delta_ref,  # ins
+    dqp_ref, dk_ref, dv_ref,  # outs (dqp: per-kv-block dQ partials)
+    dk_scr, dv_scr,  # scratch
+    *, scale: float, nq: int,
+):
+    _bwd_kv_major(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, delta_ref,
+                  dqp_ref, dk_ref, dv_ref, dk_scr, dv_scr, scale=scale,
+                  nq=nq)
+
+
+def _bwd_kv_major(
+    q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, delta_ref,
+    dqp_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+    *, scale: float, nq: int,
+):
+    """KV-major backward: grid (B, H, nk, nq).  Recomputes (s, p, ds) once
+    per (kv, q) block pair; always accumulates dK/dV across the q-minor
+    dim.  With ``dqp_ref`` (fused mode) it also writes this kv-block's dQ
+    contribution ``ds @ K`` to a distinct (ik, iq) output block — each grid
+    point owns one block, so no cross-step accumulation is needed; the
+    caller sums the nk partials.  This halves the score recomputation vs a
+    separate dQ pass (5 matmuls/block pair instead of 7)."""
     from jax.experimental import pallas as pl
 
     iq = pl.program_id(3)
@@ -184,6 +218,11 @@ def _bwd_dkv_kernel(
     dk_scr[...] = dk_scr[...] + jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if dqp_ref is not None:
+        # block (1, 1, 1, bq, d) of the (nk, B, H, Tq, D) partials array
+        dqp_ref[0, 0, 0] = jnp.dot(
+            ds, k, preferred_element_type=jnp.float32
+        ).astype(dqp_ref.dtype)
 
     @pl.when(iq == nq - 1)
     def _finish():
@@ -214,7 +253,7 @@ def _specs(block_q, block_k, d, kv_minor):
     bias_spec = pl.BlockSpec(
         (1, 1, block_k), (lambda b, h, i, j: (b, 0, j)) if kv_minor else (
             lambda b, h, i, j: (b, 0, i)))
-    row_spec = pl.BlockSpec((1, 1, block_q, _LANES), ma)  # lse/delta
+    row_spec = pl.BlockSpec((1, 1, block_q, _STAT_LANES), ma)  # lse/delta
     return q_spec, kv_spec, bias_spec, row_spec
 
 
@@ -233,7 +272,8 @@ def _flash_fwd_call(q, k, v, bias, block_q, block_k, scale, interpret):
         out_specs=[q_spec, row_spec],
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((batch, heads, tq, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((batch, heads, tq, _STAT_LANES),
+                                 jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -249,6 +289,12 @@ def _flash_fwd_call(q, k, v, bias, block_q, block_k, scale, interpret):
     return out, lse
 
 
+# Fused backward writes per-kv-block dQ partials: (nk, B, H, Tq, D) extra
+# HBM.  Past this many kv blocks the partials outgrow the saved recompute,
+# so fall back to the classic separate dQ pass (O(T) HBM).
+_FUSE_MAX_NK = 8
+
+
 def _flash_bwd_call(q, k, v, bias, do, lse, delta, block_q, block_k, scale,
                     interpret):
     from jax.experimental import pallas as pl
@@ -257,6 +303,52 @@ def _flash_bwd_call(q, k, v, bias, do, lse, delta, block_q, block_k, scale,
     batch, heads, tq, d = q.shape
     tk = k.shape[2]
     nq, nk = tq // block_q, tk // block_k
+    sem = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+    )
+    kv_scratch = [
+        pltpu.VMEM((block_k, d), jnp.float32),
+        pltpu.VMEM((block_k, d), jnp.float32),
+    ]
+    q_spec, kv_spec, bias_spec, row_spec = _specs(block_q, block_k, d, False)
+    in_specs = [q_spec, kv_spec, kv_spec, bias_spec, q_spec, row_spec,
+                row_spec]
+
+    if nk <= _FUSE_MAX_NK:
+        # one recompute pass: dK/dV accumulate in scratch, dQ partials land
+        # in per-(ik, iq) blocks and are reduced outside (nk is small)
+        dqp_spec = pl.BlockSpec(
+            (1, 1, 1, block_q, d), lambda b, h, i, j: (i, b, h, j, 0)
+        )
+        dqp, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, scale=scale, nq=nq),
+            grid=(batch, heads, nk, nq),
+            in_specs=in_specs,
+            out_specs=[dqp_spec, kv_spec, kv_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((nk,) + q.shape, jnp.float32),
+                jax.ShapeDtypeStruct(k.shape, k.dtype),
+                jax.ShapeDtypeStruct(v.shape, v.dtype),
+            ],
+            scratch_shapes=kv_scratch,
+            compiler_params=sem,
+            interpret=interpret,
+        )(q, k, v, bias, do, lse, delta)
+        return dqp.sum(axis=0).astype(q.dtype), dk, dv
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq),
+        grid=(batch, heads, nk, nq),
+        in_specs=in_specs,
+        out_specs=[kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=kv_scratch,
+        compiler_params=sem,
+        interpret=interpret,
+    )(q, k, v, bias, do, lse, delta)
 
     q_spec, kv_spec, bias_spec, row_spec = _specs(block_q, block_k, d, True)
     dq = pl.pallas_call(
@@ -267,32 +359,7 @@ def _flash_bwd_call(q, k, v, bias, do, lse, delta, block_q, block_k, scale,
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
-        ),
-        interpret=interpret,
-    )(q, k, v, bias, do, lse, delta)
-
-    q_spec, kv_spec, bias_spec, row_spec = _specs(block_q, block_k, d, False)
-    dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq),
-        grid=(batch, heads, nk, nq),
-        in_specs=[q_spec, kv_spec, kv_spec, bias_spec, q_spec, row_spec,
-                  row_spec],
-        out_specs=[kv_spec, kv_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
-        ),
+        compiler_params=sem,
         interpret=interpret,
     )(q, k, v, bias, do, lse, delta)
     return dq, dk, dv
@@ -322,7 +389,7 @@ def _flash_aligned_bwd(block_q, block_k, scale, interpret, res, do):
         do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
         keepdims=True,
     )
-    delta = jnp.broadcast_to(delta, delta.shape[:-1] + (_LANES,))
+    delta = jnp.broadcast_to(delta, delta.shape[:-1] + (_STAT_LANES,))
     dq, dk, dv = _flash_bwd_call(q, k, v, bias, do, lse, delta,
                                  block_q, block_k, scale, interpret)
     return dq, dk, dv, jnp.zeros_like(bias)
@@ -374,11 +441,15 @@ def flash_attention(
         )
     scale = float(1.0 / (d ** 0.5))
 
-    def round8(n: int) -> int:  # Mosaic sublane granule
-        return ((n + 7) // 8) * 8
-
-    block_q = min(block_q, round8(tq))
-    block_k = min(block_k, round8(tk))
+    # A sequence that fits in one block uses an exact-T block (block ==
+    # full array dim is a legal Mosaic layout at any size): no padding, no
+    # pad/slice HBM copies — measured fastest end-to-end of the
+    # {exact-T, round8, 128-aligned} x {8, 128 stat-lane} matrix on v5e.
+    # Longer sequences pad to a multiple of the (8-aligned) block size.
+    if tq <= block_q:
+        block_q = tq
+    if tk <= block_k:
+        block_k = tk
     pad_q = (-tq) % block_q
     pad_k = (-tk) % block_k
 

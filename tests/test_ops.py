@@ -288,3 +288,28 @@ def test_transformer_flash_trains():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_flash_attention_two_pass_backward_route():
+    """nk > _FUSE_MAX_NK falls back to the separate-dQ backward; grads must
+    match the reference on that route too."""
+    from multimodal_emotion_detection_tpu.ops.flash_attention import (
+        attention_reference,
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(6)
+    q, k, v = _qkv(rng, 1, 1, 1200, 16)  # block_k=128 -> nk=10 > 8
+    bias = jnp.where(jnp.asarray(rng.random((1, 1200)) > 0.1), 0.0, -1e9)
+
+    def gf(f, **kw):
+        return jax.grad(
+            lambda q, k, v: jnp.sum(f(q, k, v, bias, **kw) ** 2),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+
+    got = gf(flash_attention, block_q=128, block_k=128, interpret=True)
+    want = gf(attention_reference)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-4)
