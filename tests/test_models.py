@@ -602,3 +602,37 @@ def test_on_device_video_frontend_matches_etl():
     out_raw = clf_raw.apply(variables, {"video": jnp.asarray(raw)})
     np.testing.assert_allclose(np.asarray(out_raw), np.asarray(out_etl),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_classifier_transformer_use_flash_from_config():
+    """use_flash flows config -> build_encoder -> TransformerBlock; the
+    flash path (interpret on CPU) matches the XLA MHA path on shared
+    params, and with dropout active the training call falls back to the
+    XLA path without a param-tree mismatch."""
+    feats = {"a": jax.random.normal(KEY, (B, 12, D))}
+
+    def make(use_flash):
+        return MultimodalClassifier(
+            modalities=("a",),
+            encoder_configs={"a": {
+                "type": "sequence", "encoder_type": "transformer",
+                "input_dim": D, "hidden_dim": 8, "num_layers": 1,
+                "dropout": 0.3, "use_flash": use_flash,
+            }},
+            num_classes=5, output_dim=6, hidden_dim=8,
+        )
+
+    xla_clf, flash_clf = make(False), make(True)
+    variables = _init(xla_clf, feats)
+    ref = xla_clf.apply(variables, feats, deterministic=True)
+    # NOTE: flash_interpret isn't plumbed through the classifier config;
+    # on the CPU test backend the module auto-selects interpret mode.
+    out = flash_clf.apply(variables, feats, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    # dropout>0 + deterministic=False -> XLA fallback on the same params
+    out_train = flash_clf.apply(
+        variables, feats, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert out_train.shape == (B, 5)
