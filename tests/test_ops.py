@@ -313,3 +313,32 @@ def test_flash_attention_two_pass_backward_route():
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attention_cross_attention_shapes():
+    """Tq != Tk (cross attention) forward + grads, several geometries."""
+    from multimodal_emotion_detection_tpu.ops.flash_attention import (
+        attention_reference,
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(7)
+    for (tq, tk, d) in [(64, 200, 32), (333, 40, 16), (700, 600, 24)]:
+        q = jnp.asarray(rng.standard_normal((2, 2, tq, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 2, tk, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 2, tk, d)), jnp.float32)
+        bias = jnp.where(jnp.asarray(rng.random((2, tk)) > 0.2), 0.0, -1e9)
+        out = flash_attention(q, k, v, bias, interpret=True)
+        ref = attention_reference(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5, err_msg=str((tq, tk, d)))
+        gf = jax.grad(lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v, bias, interpret=True) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda q, k, v: jnp.sum(
+            attention_reference(q, k, v, bias) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        for g, w in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=str((tq, tk, d)))
