@@ -54,6 +54,7 @@ class MultimodalLoader:
         self.epoch = 0
         self._device_features: Optional[Dict[str, jnp.ndarray]] = None
         self._device_labels: Optional[jnp.ndarray] = None
+        self._device_sharding = None
 
     # -- sizing ----------------------------------------------------------
     def __len__(self) -> int:
@@ -77,8 +78,14 @@ class MultimodalLoader:
     def device_arrays(
         self, sharding=None
     ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
-        """Transfer the full split to device (once) and cache it."""
-        if self._device_features is None:
+        """Transfer the full split to device (once) and cache it.
+
+        The cache is keyed by ``sharding``: requesting a different sharding
+        (e.g. Trainer.fit's replicated mesh sharding after an unsharded
+        warm-up call) re-places the arrays instead of handing the jitted
+        step mismatched operands that would be re-transferred every step.
+        """
+        if self._device_features is None or self._device_sharding is not sharding:
             put = (
                 (lambda x: jax.device_put(x, sharding))
                 if sharding is not None
@@ -88,6 +95,7 @@ class MultimodalLoader:
                 m: put(a) for m, a in self.arrays.features.items()
             }
             self._device_labels = put(self.arrays.labels.astype(np.int32))
+            self._device_sharding = sharding
         return self._device_features, self._device_labels
 
     def epoch_batch_indices(self, epoch: Optional[int] = None) -> np.ndarray:

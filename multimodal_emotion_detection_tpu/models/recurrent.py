@@ -329,9 +329,11 @@ class FusedStackedRNN(nn.Module):
                     x, layers[0], layers[1],
                     interpret=jax.default_backend() != "tpu",
                 )
-                # callers in the lengths=None inference path only consume
-                # h_final; a (B, 1, H) view keeps the API two-valued
-                return h_final[:, None, :], h_final
+                # the kernel materialises no per-step outputs; returning
+                # None (instead of a misleading (B,1,H) stand-in) makes any
+                # caller that needs the sequence fail loudly rather than
+                # silently consume the wrong shape
+                return None, h_final
 
         x_tm = jnp.swapaxes(x, 0, 1)  # (T, B, D)
         if self.cell_type == "lstm":

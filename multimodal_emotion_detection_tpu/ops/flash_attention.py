@@ -444,6 +444,10 @@ def flash_attention(
             f"flash_attention: bias shape {bias.shape} != (batch, Tk) = "
             f"({batch}, {tk})"
         )
+    # bias is a mask, not a parameter: the VJP does not compute dbias, so
+    # cut the edge explicitly rather than silently emitting zero gradients
+    # for a learned additive bias.
+    bias = jax.lax.stop_gradient(bias)
     scale = float(1.0 / (d ** 0.5))
 
     # A sequence that fits in one block uses an exact-T block (block ==

@@ -78,6 +78,27 @@ class CheckpointManager:
         self._kept: List[Tuple[float, Path]] = []
         self.best_model_path: Optional[Path] = None
         self.best_model_score: float = np.inf if mode == "min" else -np.inf
+        self._recover_kept()
+
+    def _recover_kept(self) -> None:
+        """Rebuild top-k state from existing ``epoch=*-val_loss=*.ckpt`` files.
+
+        After resume-from-last, a fresh manager would otherwise forget
+        previously saved top-k checkpoints (never pruning stale ones) and
+        ``best_model_path`` would fall back to the final state instead of
+        the historically best one.
+        """
+        for path in self.dirpath.glob("epoch=*-val_loss=*.ckpt"):
+            if path.suffix != ".ckpt" or path.name == "last.ckpt":
+                continue
+            try:
+                metric = float(path.stem.split("val_loss=")[1])
+            except (IndexError, ValueError):
+                continue
+            self._kept.append((metric, path))
+        self._kept.sort(key=lambda kv: kv[0], reverse=(self.mode != "min"))
+        if self._kept:
+            self.best_model_score, self.best_model_path = self._kept[0]
 
     def _is_better(self, a: float, b: float) -> bool:
         return a < b if self.mode == "min" else a > b

@@ -36,11 +36,29 @@ def _t(tensor):
     return np.asarray(arr)
 
 
-def load_lightning_state_dict(ckpt_path: str) -> Dict[str, Any]:
-    """Read a Lightning ``.ckpt`` (or raw state_dict file) with torch."""
+def load_lightning_state_dict(
+    ckpt_path: str, allow_pickle: bool = False
+) -> Dict[str, Any]:
+    """Read a Lightning ``.ckpt`` (or raw state_dict file) with torch.
+
+    Loads with ``weights_only=True`` (tensor-only deserialisation, no
+    arbitrary pickled code).  Some older Lightning checkpoints embed
+    non-tensor objects (callbacks, hparams namespaces) that require full
+    unpickling; pass ``allow_pickle=True`` ONLY for checkpoints you trust —
+    full unpickling executes arbitrary code from the file.
+    """
     import torch
 
-    obj = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise ValueError(
+                f"{ckpt_path} is not loadable as a weights-only checkpoint. "
+                "If you trust its origin, retry with allow_pickle=True "
+                "(full unpickling can execute code embedded in the file)."
+            )
+        obj = torch.load(ckpt_path, map_location="cpu", weights_only=False)
     return obj.get("state_dict", obj) if isinstance(obj, dict) else obj
 
 
