@@ -50,19 +50,39 @@ def _output_len(taps: int, n_in: int, up: int, down: int) -> int:
     return (((n_in - 1) * up + taps) - 1) // down + 1
 
 
-def _design_filter(up: int, down: int, beta: float) -> np.ndarray:
-    """scipy.resample_poly's internal firwin-kaiser design, scaled by up."""
+def _design_filter(
+    up: int,
+    down: int,
+    beta: float,
+    half_cycles: int = 10,
+    rolloff: float = 1.0,
+) -> np.ndarray:
+    """Kaiser-windowed sinc low-pass for polyphase resampling, scaled by up.
+
+    ``half_cycles=10, rolloff=1.0`` reproduces scipy.resample_poly's
+    internal design exactly.  The audio frontend uses
+    ``half_cycles=64, beta=14.7697, rolloff=0.9475`` — the parameters of
+    resampy's 'kaiser_best', the filter librosa historically shipped as
+    its quality tier — which shrinks the transition band enough that
+    content at 0.8x the target Nyquist survives to ~1e-6 (the short scipy
+    default leaks ~4e-2 there; measured in test_etl.py's analytic test).
+    """
     from scipy.signal import firwin
 
     max_rate = max(up, down)
-    half_len = 10 * max_rate
-    f_c = 1.0 / max_rate
+    half_len = half_cycles * max_rate
+    f_c = rolloff / max_rate
     h = firwin(2 * half_len + 1, f_c, window=("kaiser", beta))
     return h * up
 
 
 def resample_poly_native(
-    x: np.ndarray, up: int, down: int, beta: float = 12.9846
+    x: np.ndarray,
+    up: int,
+    down: int,
+    beta: float = 12.9846,
+    half_cycles: int = 10,
+    rolloff: float = 1.0,
 ) -> Optional[np.ndarray]:
     """scipy.signal.resample_poly equivalent via the native upfirdn core.
 
@@ -82,7 +102,7 @@ def resample_poly_native(
     n_out = n_in * up
     n_out = n_out // down + bool(n_out % down)
 
-    h = _design_filter(up, down, beta)
+    h = _design_filter(up, down, beta, half_cycles, rolloff)
     half_len = (len(h) - 1) // 2
     # scipy's padding so the group delay lands on integer output samples
     n_pre_pad = down - half_len % down

@@ -60,8 +60,20 @@ def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
     return data, sample_rate
 
 
+# resampy 'kaiser_best' design constants (librosa's historical quality
+# tier; the reference's librosa.load(sr=16000) contract at
+# /root/reference/src/dataprocessing.py:196).  64 sinc half-cycles per
+# side with rolloff 0.9475 give a transition band sharp enough that
+# content at 0.8x the target Nyquist is preserved to ~1e-6; scipy's
+# default 10-half-cycle design leaks ~4e-2 there (test_etl.py analytic
+# test pins the measured bound).
+_KAISER_BEST_BETA = 14.769656459379492
+_KAISER_BEST_HALF_CYCLES = 64
+_KAISER_BEST_ROLLOFF = 0.9475
+
+
 def resample(y: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase resample (Kaiser-windowed), matching librosa's quality tier.
+    """Polyphase resample with a librosa-'kaiser_best'-grade filter.
 
     Prefers the native C++ upfirdn core (native/etl_kernels.cc) when built;
     falls back to scipy, then to linear interpolation.  Native and scipy
@@ -73,20 +85,30 @@ def resample(y: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     up, down = target_sr // g, orig_sr // g
 
     from multimodal_emotion_detection_tpu.utils.native import (
+        _design_filter,
         resample_poly_native,
     )
 
     try:
-        out = resample_poly_native(y, up, down, beta=12.9846)
+        out = resample_poly_native(
+            y, up, down,
+            beta=_KAISER_BEST_BETA,
+            half_cycles=_KAISER_BEST_HALF_CYCLES,
+            rolloff=_KAISER_BEST_ROLLOFF,
+        )
     except ImportError:
         out = None
     if out is None:
         try:
             from scipy.signal import resample_poly
 
-            out = resample_poly(
-                y.astype(np.float64), up, down, window=("kaiser", 12.9846)
-            )
+            # scipy scales an array window by `up` internally, so hand it
+            # the unscaled design
+            h = _design_filter(
+                up, down, _KAISER_BEST_BETA,
+                _KAISER_BEST_HALF_CYCLES, _KAISER_BEST_ROLLOFF,
+            ) / up
+            out = resample_poly(y.astype(np.float64), up, down, window=h)
         except ImportError:  # pragma: no cover - scipy present in this image
             out = _naive_resample(y, orig_sr, target_sr)
     return out.astype(np.float32)

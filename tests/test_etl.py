@@ -15,7 +15,11 @@ from multimodal_emotion_detection_tpu.data.ravdess import (
     save_splits_to_disk,
     stratified_two_stage_split,
 )
-from multimodal_emotion_detection_tpu.utils.wav import load_audio, read_wav
+from multimodal_emotion_detection_tpu.utils.wav import (
+    load_audio,
+    read_wav,
+    resample,
+)
 
 
 def write_wav(path, data, sr, sampwidth=2, channels=1):
@@ -108,6 +112,86 @@ def test_load_raw_audio_contract(tmp_path):
     assert np.abs(out[16000 + 10:]).max() == 0.0  # zero pad after 1 s
 
 
+def test_resample_matches_pinned_golden():
+    """48k->16k polyphase == the pinned kaiser_best golden (bitwise-tight).
+
+    Golden recorded by tests/golden/make_goldens.py: scipy resample_poly
+    with librosa's 'kaiser_best' filter (beta=12.9846) in float64 — the
+    quality tier of the reference's librosa.load(sr=16000) contract
+    (/root/reference/src/dataprocessing.py:196).  Catches any regression
+    in the native C++ upfirdn core or the scipy fallback.
+    """
+    import sys
+
+    golden_dir = Path(__file__).parent / "golden"
+    sys.path.insert(0, str(golden_dir))
+    try:
+        from make_goldens import speech_like
+    finally:
+        sys.path.pop(0)
+    y = speech_like(48000, 48000)
+    golden = np.load(golden_dir / "resample_48k_to_16k_kaiser_best.npy")
+    out = resample(y.astype(np.float32), 48000, 16000)
+    assert out.shape == golden.shape
+    # float32 I/O against a float64 golden: agreement to fp32 resolution
+    np.testing.assert_allclose(out, golden.astype(np.float32), atol=2e-6)
+
+
+def test_resample_error_vs_analytic_truth():
+    """Measured resampler error against the closed-form truth.
+
+    A signal bandlimited below the target Nyquist (sum of tones < 6.4 kHz)
+    has an exact 16 kHz resampling: the same tones evaluated on the 16 kHz
+    grid.  This replaces the unverifiable '~1e-3' estimate with a measured
+    bound: with the kaiser_best-grade filter (64 half-cycles, rolloff
+    0.9475) interior samples agree with the closed-form truth to ~1e-7
+    even at 0.8x Nyquist (the old 10-half-cycle scipy default leaked
+    1.8e-3 there).  Edge transients are excluded (the polyphase filter has
+    no signal context at the boundaries).
+    """
+    sr_in, sr_out, dur = 48000, 16000, 1.0
+    freqs = [230.0, 1150.0, 3170.0, 6390.0]
+    amps = [0.5, 0.3, 0.15, 0.05]
+    t_in = np.arange(int(sr_in * dur)) / sr_in
+    t_out = np.arange(int(sr_out * dur)) / sr_out
+    y = sum(a * np.sin(2 * np.pi * f * t_in) for a, f in zip(amps, freqs))
+    truth = sum(a * np.sin(2 * np.pi * f * t_out) for a, f in zip(amps, freqs))
+    out = resample(y.astype(np.float32), sr_in, sr_out)
+    interior = slice(400, -400)
+    err = np.abs(out[interior] - truth[interior]).max()
+    assert err < 1e-5, f"resampler error vs analytic truth: {err:.2e}"
+
+
+@pytest.mark.parametrize("hop", [128, 160])
+def test_logmel_matches_brute_force_golden(hop):
+    """Log-mel (XLA path) == pinned naive-STFT golden for hop 128 AND 160.
+
+    The golden (tests/golden/make_goldens.py) is a float64 per-frame loop:
+    periodic Hann(400) centre-padded to 512, np.fft.rfft, power, an
+    independently constructed HTK filterbank, log(x + 1e-6) — sharing no
+    code with ops/logmel.py.  hop=160 (librosa's 10 ms default) exercises
+    the non-lane-aligned XLA route; hop=128 the flagship layout.
+    """
+    import jax.numpy as jnp
+
+    from multimodal_emotion_detection_tpu.ops.logmel import (
+        LogMelParams,
+        log_mel_spectrogram,
+    )
+
+    golden_dir = Path(__file__).parent / "golden"
+    wave = np.load(golden_dir / "logmel_input_16k.npy")
+    golden = np.load(golden_dir / f"logmel_hop{hop}.npy")
+    params = LogMelParams(hop_length=hop)
+    out = log_mel_spectrogram(
+        jnp.asarray(wave[None, :]), params, use_pallas=False
+    )[0]
+    assert out.shape == golden.shape
+    np.testing.assert_allclose(
+        np.asarray(out), golden.astype(np.float32), atol=2e-4, rtol=2e-5
+    )
+
+
 def test_stratified_split_membership():
     labels = np.repeat(np.arange(8), 20)  # 160 samples, 20 per class
     tr, va, te = stratified_two_stage_split(labels, labels, 0.1, 0.1, 42)
@@ -120,6 +204,48 @@ def test_stratified_split_membership():
     # determinism
     tr2, _, _ = stratified_two_stage_split(labels, labels, 0.1, 0.1, 42)
     np.testing.assert_array_equal(np.sort(tr), np.sort(tr2))
+
+
+def test_split_membership_matches_reference_pattern():
+    """Index sets == the reference's exact two-stage train_test_split.
+
+    Executes the reference's pattern (/root/reference/src/dataprocessing.py
+    :392-421): stage 1 splits (features, labels, strat_keys) with
+    stratify=strat_keys, stage 2 splits the temp pool with stratify=y_temp,
+    both at random_state=42.  An index column rides along to recover
+    membership; if this ever diverges from ``stratified_two_stage_split``,
+    every accuracy comparison against the reference is apples-to-oranges
+    (SURVEY.md §7).
+    """
+    pytest.importorskip("sklearn")
+    from sklearn.model_selection import train_test_split
+
+    rng = np.random.RandomState(0)
+    n = 240
+    labels = rng.randint(0, 8, size=n)
+    strat_keys = labels.copy()  # stratify_by='emotion' (ref :365-366)
+    feats = rng.randn(n, 4).astype(np.float32)
+    idx = np.arange(n)
+    val_size, test_size, seed = 0.15, 0.15, 42
+
+    # --- reference pattern, verbatim call structure ---
+    temp_frac = val_size + test_size
+    (_, _, y_tr, y_temp, _, _, ref_tr, ref_temp) = train_test_split(
+        feats, labels, strat_keys, idx,
+        test_size=temp_frac, random_state=seed, stratify=strat_keys,
+    )
+    val_rel = val_size / temp_frac
+    (_, _, ref_val, ref_test) = train_test_split(
+        y_temp, ref_temp,
+        test_size=1 - val_rel, random_state=seed, stratify=y_temp,
+    )
+
+    ours_tr, ours_val, ours_test = stratified_two_stage_split(
+        labels, strat_keys, val_size, test_size, seed
+    )
+    assert set(ours_tr) == set(ref_tr)
+    assert set(ours_val) == set(ref_val)
+    assert set(ours_test) == set(ref_test)
 
 
 def test_etl_end_to_end_audio_only(tmp_path):
