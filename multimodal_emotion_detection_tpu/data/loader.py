@@ -175,7 +175,12 @@ def create_dataloaders(
     ``num_samples_eval // 5`` rows); anything else loads the on-disk
     ``.npy`` layout.
     """
-    del num_workers
+    if num_workers not in (0, 4):  # 4 == reference default (schema parity)
+        print(
+            f"[data] num_workers={num_workers} accepted for config-schema "
+            "parity but has no effect: batches are gathered on-device from "
+            "the HBM-resident split (no host worker processes)."
+        )
     if dataset_name == "synthetic":
         num_samples = kwargs.get("num_samples", 10000)
         num_eval = kwargs.get("num_samples_eval", 2000) // 5

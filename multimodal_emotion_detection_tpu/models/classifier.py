@@ -55,6 +55,7 @@ class MultimodalClassifier(nn.Module):
     frontend_kind: str = "logmel"  # 'logmel' | 'mfcc' (when frontend set)
     frontend_n_mfcc: int = 40
     frontend_use_pallas: bool = True
+    frontend_interpret: bool = False  # Pallas interpret mode (CPU dryruns)
     # on-device video transform (BASELINE.json north star: "batched
     # image-transform kernels feeding HBM-resident tensors")
     video_frontend: str = "none"  # 'none' | 'resize'
@@ -105,11 +106,13 @@ class MultimodalClassifier(nn.Module):
                     self.audio_frontend,
                     n_mfcc=self.frontend_n_mfcc,
                     use_pallas=self.frontend_use_pallas,
+                    interpret=self.frontend_interpret,
                 )
             return log_mel_spectrogram(
                 features,
                 self.audio_frontend,
                 use_pallas=self.frontend_use_pallas,
+                interpret=self.frontend_interpret,
             )
         if (
             modality == "video"

@@ -148,12 +148,15 @@ class Trainer:
         )
 
     def _place_idx(self, idx: np.ndarray) -> jnp.ndarray:
-        if self._mesh is not None:
+        if self._mesh is not None and len(idx) % self._mesh.shape["data"] == 0:
             return jax.device_put(jnp.asarray(idx), self._batch_sharding)
         return jnp.asarray(idx)
 
     def _place_valid(self, valid: np.ndarray) -> jnp.ndarray:
-        if self._mesh is not None:
+        if (
+            self._mesh is not None
+            and len(valid) % self._mesh.shape["data"] == 0
+        ):
             return jax.device_put(jnp.asarray(valid), self._batch_sharding)
         return jnp.asarray(valid)
 
@@ -255,19 +258,54 @@ class Trainer:
 
             # ---- validate ----
             val_row = self.validate(val_loader, prefix="val")
-            lr_now = float(
-                jax.device_get(self._schedule(jax.device_get(self.state.step)))
+
+            # CSV rows mirror the reference's Lightning cadence exactly
+            # (grid_sweep_results/*/metrics.csv): per epoch, an lr row at
+            # the epoch's first global step (LearningRateMonitor,
+            # interval='epoch', epoch cell empty), then a val row and a
+            # train row at the epoch's last global step.  Optional
+            # within-epoch rows every ``experiment.log_every_n_steps``
+            # carry Lightning's on_step '*_step' column names so the
+            # epoch-level columns still diff directly.
+            step = int(jax.device_get(self.state.step))
+            steps_this_epoch = idx_all.shape[0]
+            epoch_start_step = step - steps_this_epoch
+            lr_start = float(jax.device_get(self._schedule(epoch_start_step)))
+            self.csv_logger.log_metrics(
+                {f"lr-{self._opt_name}": lr_start}, step=epoch_start_step
             )
-            row = {
+            log_n = int(
+                getattr(self.config.experiment, "log_every_n_steps", 0) or 0
+            )
+            if log_n > 0:
+                losses = np.asarray(stacked["loss"])
+                accs = np.asarray(stacked["acc"])
+                for j in range(steps_this_epoch):
+                    g = epoch_start_step + j
+                    if (g + 1) % log_n == 0:
+                        self.csv_logger.log_metrics(
+                            {
+                                "train/loss_step": float(losses[j]),
+                                "train/acc_step": float(accs[j]),
+                            },
+                            step=g,
+                            epoch=epoch,
+                        )
+            self.csv_logger.log_metrics(val_row, step=step - 1, epoch=epoch)
+            perf_row = {
                 **train_row,
-                **val_row,
-                f"lr-{self._opt_name}": lr_now,
                 "train/clips_per_sec": (
                     float(valid_all.sum()) / train_time if train_time > 0 else 0.0
                 ),
             }
-            step = int(jax.device_get(self.state.step))
-            self.csv_logger.log_metrics(row, step=step, epoch=epoch)
+            self.csv_logger.log_metrics(perf_row, step=step - 1, epoch=epoch)
+
+            row = {
+                **train_row,
+                **val_row,
+                f"lr-{self._opt_name}": lr_start,
+                "train/clips_per_sec": perf_row["train/clips_per_sec"],
+            }
             self.tb_logger.log_metrics(row, step=step, epoch=epoch)
             self.history.append({"epoch": epoch, **row})
             print(
@@ -336,14 +374,16 @@ class Trainer:
                 feats, labels, _ = next(host_batches)
                 batch_idx = identity
             else:
-                batch_idx = jnp.asarray(idx_all[b])
+                # batch-sharded indices: under a mesh the eval forward is
+                # data-parallel like the train step, not replicated
+                batch_idx = self._place_idx(idx_all[b])
             sums, (logits, preds, batch_labels) = self._eval_step(
                 state.params,
                 state.model_state,
                 feats,
                 labels,
                 batch_idx,
-                jnp.asarray(valid_all[b]),
+                self._place_valid(valid_all[b]),
             )
             totals = (
                 sums

@@ -30,8 +30,18 @@ class CSVLogger:
         self._rows: list[Dict[str, object]] = []
         self._columns: list[str] = []
 
-    def log_metrics(self, metrics: Dict[str, float], step: int, epoch: int) -> None:
-        row: Dict[str, object] = {"epoch": epoch, "step": step}
+    def log_metrics(
+        self, metrics: Dict[str, float], step: int, epoch: Optional[int] = None
+    ) -> None:
+        """Append one (possibly sparse) row.
+
+        ``epoch=None`` leaves the epoch cell empty — the reference's
+        LearningRateMonitor rows look exactly like that
+        (grid_sweep_results/*/metrics.csv: ``0.001,0,,,...``).
+        """
+        row: Dict[str, object] = {"step": step}
+        if epoch is not None:
+            row["epoch"] = epoch
         for key, value in metrics.items():
             row[key] = float(value)
         for key in row:
@@ -65,7 +75,9 @@ class TensorBoardLogger:
         except Exception:
             self._writer = None
 
-    def log_metrics(self, metrics: Dict[str, float], step: int, epoch: int) -> None:
+    def log_metrics(
+        self, metrics: Dict[str, float], step: int, epoch: Optional[int] = None
+    ) -> None:
         if not self.enabled:
             return
         for key, value in metrics.items():
