@@ -184,10 +184,14 @@ class SequenceEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     scan_unroll: int = 4  # tuned on v5e (benchmarks/tpu_tuning.json)
     fused: bool = True  # all-layers-in-one-scan for short sequences
-    inference_kernel: bool = False  # Pallas in-kernel recurrence at eval
+    # Default-on since round 2: wins at every measured shape on v5e
+    # (benchmarks/flash_attention_tpu.json, serving_tpu.json); both fall
+    # back automatically when the shape/backend doesn't qualify, and
+    # training falls back to XLA MHA while attention dropout is active.
+    inference_kernel: bool = True  # Pallas in-kernel recurrence at eval
     max_len: int = 4096
     attention_block: int = 512  # local-attention block size past max_len
-    use_flash: bool = False  # Pallas flash attention in transformer blocks
+    use_flash: bool = True  # Pallas flash attention in transformer blocks
     flash_interpret: bool = False
 
     @nn.compact

@@ -189,3 +189,212 @@ def kernel_supported(batch: int, t_len: int, h_dim: int,
         + batch * h_dim * 4  # out
     )
     return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and batch >= 8
+
+
+# ---------------------------------------------------------------------------
+# Training backward: in-kernel reverse dgates chain (one layer per call)
+# ---------------------------------------------------------------------------
+
+
+def _cell_bwd(g, c_prev, dh_t, dc_t, h_dim):
+    """dgates pre-activations + dc_prev for one LSTM step (fp32 VPU math)."""
+    i = g[:, 0 * h_dim:1 * h_dim]
+    f = g[:, 1 * h_dim:2 * h_dim]
+    gg = g[:, 2 * h_dim:3 * h_dim]
+    o = g[:, 3 * h_dim:4 * h_dim]
+    si = jax.nn.sigmoid(i)
+    sf = jax.nn.sigmoid(f)
+    so = jax.nn.sigmoid(o)
+    tg = jnp.tanh(gg)
+    c = sf * c_prev + si * tg
+    tc = jnp.tanh(c)
+    dc = dc_t + dh_t * so * (1.0 - tc * tc)
+    dgates = jnp.concatenate(
+        [
+            dc * tg * si * (1.0 - si),
+            dc * c_prev * sf * (1.0 - sf),
+            dc * si * (1.0 - tg * tg),
+            dh_t * tc * so * (1.0 - so),
+        ],
+        axis=-1,
+    )
+    return dgates, dc * sf
+
+
+def _lstm_bwd_kernel(
+    g_hbm,  # (T_pad, B, 4H) ANY — gate pre-activations (fwd residual)
+    c_hbm,  # (T_pad, B, H) ANY — c_prev series
+    dh_hbm,  # (T_pad, B, H) ANY — per-step incoming dh contributions
+    dhf_ref,  # (B, H) VMEM — gradient wrt the final hidden state
+    w_hh_t_ref,  # (4H, H) VMEM — transposed recurrence weights
+    dg_hbm,  # (T_pad, B, 4H) ANY out — emitted dgates series
+    *,
+    t_len: int,
+    chunk: int,
+):
+    """Reverse-time dgates chain, entire loop inside one Pallas program.
+
+    The only serial work per step is VPU gate math + ONE (B,4H)x(4H,H)
+    matmul (the dh carry); every weight-gradient contraction stays hoisted
+    outside (ops/lstm_vjp.py).  Chunks of all three input series stream
+    from HBM double-buffered; dgates chunks stream back out.  Padded steps
+    (t >= t_len, processed FIRST in reverse order) pass the carry through.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = dhf_ref.shape[0]
+    h_dim = dhf_ref.shape[1]
+    num_chunks = g_hbm.shape[0] // chunk
+
+    def body(g_buf, c_buf, dh_buf, out_buf, in_sem, out_sem, state_buf):
+        # state_buf: (2, B, H) = dh_carry, dc_carry
+        state_buf[0] = dhf_ref[:]
+        state_buf[1] = jnp.zeros((batch, h_dim), jnp.float32)
+        w_hh_t = w_hh_t_ref[:]
+
+        def dma_in(slot, ci):
+            start = ci * chunk
+            return [
+                pltpu.make_async_copy(
+                    g_hbm.at[pl.ds(start, chunk)], g_buf.at[slot],
+                    in_sem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    c_hbm.at[pl.ds(start, chunk)], c_buf.at[slot],
+                    in_sem.at[slot, 1],
+                ),
+                pltpu.make_async_copy(
+                    dh_hbm.at[pl.ds(start, chunk)], dh_buf.at[slot],
+                    in_sem.at[slot, 2],
+                ),
+            ]
+
+        def dma_out(slot, ci):
+            return pltpu.make_async_copy(
+                out_buf.at[slot], dg_hbm.at[pl.ds(ci * chunk, chunk)],
+                out_sem.at[slot],
+            )
+
+        for c in dma_in(0, num_chunks - 1):
+            c.start()
+
+        def chunk_body(k, _):
+            ci = num_chunks - 1 - k
+            slot = k % 2
+
+            @pl.when(ci - 1 >= 0)
+            def _():
+                for cpy in dma_in((k + 1) % 2, ci - 1):
+                    cpy.start()
+
+            for cpy in dma_in(slot, ci):
+                cpy.wait()
+            # the out DMA that used this slot two chunks ago must be done
+            @pl.when(k >= 2)
+            def _():
+                dma_out(slot, ci + 2).wait()
+
+            def step(s_fwd, _):
+                s = chunk - 1 - s_fwd
+                t = ci * chunk + s
+                dh_carry = state_buf[0]
+                dc_carry = state_buf[1]
+                dh_t = dh_carry + dh_buf[slot, s]
+                dgates, dc_prev = _cell_bwd(
+                    g_buf[slot, s], c_buf[slot, s], dh_t, dc_carry, h_dim
+                )
+                dh_prev = jnp.dot(
+                    dgates, w_hh_t, preferred_element_type=jnp.float32
+                )
+                valid = t < t_len
+                out_buf[slot, s] = jnp.where(valid, dgates, 0.0)
+                state_buf[0] = jnp.where(valid, dh_prev, dh_carry)
+                state_buf[1] = jnp.where(valid, dc_prev, dc_carry)
+                return 0
+
+            jax.lax.fori_loop(0, chunk, step, 0, unroll=1)
+            dma_out(slot, ci).start()
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+        # drain the last (up to) two in-flight out DMAs
+        @pl.when(num_chunks >= 2)
+        def _():
+            dma_out((num_chunks - 2) % 2, 1).wait()
+
+        dma_out((num_chunks - 1) % 2, 0).wait()
+
+    gates4 = w_hh_t_ref.shape[0]
+    pl.run_scoped(
+        body,
+        g_buf=pltpu.VMEM((2, chunk, batch, gates4), jnp.float32),
+        c_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        dh_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        out_buf=pltpu.VMEM((2, chunk, batch, gates4), jnp.float32),
+        in_sem=pltpu.SemaphoreType.DMA((2, 3)),
+        out_sem=pltpu.SemaphoreType.DMA((2,)),
+        state_buf=pltpu.VMEM((2, batch, h_dim), jnp.float32),
+    )
+
+
+def lstm_bwd_chain_pallas(
+    g_series: jnp.ndarray,  # (T, B, 4H) gate pre-activations
+    c_prev_series: jnp.ndarray,  # (T, B, H)
+    dh_series: jnp.ndarray,  # (T, B, H) per-step dh contributions
+    dh_final: jnp.ndarray,  # (B, H)
+    w_hh: jnp.ndarray,  # (H, 4H)
+    chunk: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """dgates series (T, B, 4H) of one LSTM layer, reverse chain in-kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_len, batch, gates4 = g_series.shape
+    h_dim = gates4 // 4
+    t_pad = ((t_len + chunk - 1) // chunk) * chunk
+    pad = t_pad - t_len
+    if pad:
+        g_series = jnp.pad(g_series, ((0, pad), (0, 0), (0, 0)))
+        c_prev_series = jnp.pad(c_prev_series, ((0, pad), (0, 0), (0, 0)))
+        dh_series = jnp.pad(dh_series, ((0, pad), (0, 0), (0, 0)))
+
+    kernel = functools.partial(_lstm_bwd_kernel, t_len=t_len, chunk=chunk)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((t_pad, batch, gates4), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        interpret=interpret,
+    )(
+        g_series.astype(jnp.float32),
+        c_prev_series.astype(jnp.float32),
+        dh_series.astype(jnp.float32),
+        dh_final.astype(jnp.float32),
+        w_hh.astype(jnp.float32).T,
+    )
+    return out[:t_len]
+
+
+def bwd_kernel_supported(batch: int, t_len: int, h_dim: int,
+                         chunk: int = 8) -> bool:
+    """VMEM feasibility + layout constraints for the backward kernel."""
+    gates4 = 4 * h_dim
+    vmem = (
+        2 * chunk * batch * (2 * gates4 + 2 * h_dim) * 4  # stream buffers
+        + gates4 * h_dim * 4  # w_hh^T
+        + 2 * batch * h_dim * 4  # carry state
+    )
+    return (
+        vmem <= 12 * 1024 * 1024
+        and h_dim % 128 == 0
+        and batch >= 8
+        and t_len >= 1
+    )

@@ -94,6 +94,76 @@ def _fwd_scan(x_tm, keep_tm, params):
     return carry, ys, res
 
 
+# Backward dgates chain dispatch: 'auto' uses the in-kernel Pallas chain
+# (ops/lstm_kernel.py:lstm_bwd_chain_pallas) on TPU when the shape
+# qualifies; 'interpret' forces it (emulated) for CPU parity tests; 'off'
+# keeps the XLA reverse scan.
+_BWD_KERNEL_MODE = "auto"
+
+
+def set_bwd_kernel_mode(mode: str) -> str:
+    global _BWD_KERNEL_MODE
+    prev = _BWD_KERNEL_MODE
+    assert mode in ("auto", "off", "interpret")
+    _BWD_KERNEL_MODE = mode
+    return prev
+
+
+def _bwd_layered_pallas(res, keep_tm, params, dys, dh_final, interpret):
+    """Per-layer in-kernel reverse chains, top-down.
+
+    The inter-layer coupling (dh of layer l gets dgates_{l+1} @ w_ih^T the
+    same step) only flows downward, so each layer's whole-time chain can
+    run after the one above finishes — the coupling term becomes ONE
+    MXU-shaped (T*B, 4H) x (4H, H) matmul between kernel launches instead
+    of a per-step op inside the loop.
+    """
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        lstm_bwd_chain_pallas,
+    )
+
+    n_layers = len(params)
+    batch = dys.shape[1]
+    h_dim = params[0]["w_hh"].shape[0]
+    dgates_series = [None] * n_layers
+    dh_series = dys  # (T, B, H): per-step contributions into the top layer
+    zeros_hf = jnp.zeros((batch, h_dim), dys.dtype)
+    for layer in reversed(range(n_layers)):
+        g_s, _, c_prev_s, _ = res[layer]
+        dhf = dh_final if layer == n_layers - 1 else zeros_hf
+        dgates = lstm_bwd_chain_pallas(
+            g_s, c_prev_s, dh_series, dhf, params[layer]["w_hh"],
+            interpret=interpret,
+        )
+        dgates_series[layer] = dgates
+        if layer > 0:
+            dx = dgates.reshape(-1, 4 * h_dim) @ params[layer]["w_ih"].T
+            dh_series = dx.reshape(g_s.shape[0], batch, h_dim) * keep_tm[
+                :, layer - 1
+            ]
+    return tuple(dgates_series)
+
+
+def _bwd_dgates(res, keep_tm, params, dys, dh_final):
+    """Dispatch between the Pallas in-kernel chain and the XLA scan."""
+    if _BWD_KERNEL_MODE != "off":
+        from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+            bwd_kernel_supported,
+        )
+
+        t_len, batch = dys.shape[0], dys.shape[1]
+        h_dim = params[0]["w_hh"].shape[0]
+        on_tpu = jax.default_backend() == "tpu"
+        interpret = _BWD_KERNEL_MODE == "interpret"
+        if (on_tpu or interpret) and bwd_kernel_supported(
+            batch, t_len, h_dim
+        ):
+            return _bwd_layered_pallas(
+                res, keep_tm, params, dys, dh_final, interpret
+            )
+    return _bwd_scan(res, keep_tm, params, dys, dh_final)
+
+
 def _bwd_scan(res, keep_tm, params, dys, dh_final):
     """Reverse scan emitting per-layer dgates; no weight math inside."""
     n_layers = len(params)
@@ -161,7 +231,7 @@ def _fused_bwd(saved, grads):
     dys = jnp.swapaxes(dys_bt, 0, 1)  # (T, B, H)
     n_layers = len(params)
 
-    dgates_series = _bwd_scan(res, keep_tm, params, dys, dh_final)
+    dgates_series = _bwd_dgates(res, keep_tm, params, dys, dh_final)
 
     t_len, batch = x_tm.shape[0], x_tm.shape[1]
 

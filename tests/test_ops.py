@@ -342,3 +342,56 @@ def test_flash_attention_cross_attention_shapes():
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=1e-4, atol=1e-4,
                                        err_msg=str((tq, tk, d)))
+
+
+def test_lstm_bwd_chain_kernel_matches_xla_scan():
+    """In-kernel reverse dgates chain == XLA-scan custom backward == autodiff.
+
+    Runs the full fused_lstm VJP with the Pallas backward chain forced on
+    (interpret mode), at a kernel-qualifying geometry (H % 128 == 0,
+    B >= 8) with a padding-exercising T, inter-layer dropout keep masks,
+    and BOTH cotangents non-zero (full output sequence + final state).
+    """
+    from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
+        fused_lstm,
+        set_bwd_kernel_mode,
+    )
+
+    b, t, d, h = 8, 21, 12, 128
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    x = jax.random.normal(ks[0], (b, t, d))
+    keep = (jax.random.uniform(ks[1], (b, t, 1, h)) > 0.3).astype(jnp.float32)
+    params = tuple(
+        {
+            "w_ih": 0.3 * jax.random.normal(ks[2 + 3 * l], (d if l == 0 else h, 4 * h)),
+            "w_hh": 0.3 * jax.random.normal(ks[3 + 3 * l], (h, 4 * h)),
+            "b": 0.1 * jax.random.normal(ks[4 + 3 * l], (4 * h,)),
+        }
+        for l in range(2)
+    )
+
+    def loss(x, keep, params):
+        ys, h_final = fused_lstm(x, keep, params)
+        return jnp.sum(ys * jnp.cos(ys)) + 2.0 * jnp.sum(h_final**2)
+
+    grad_fn = jax.grad(loss, argnums=(0, 1, 2))
+
+    prev = set_bwd_kernel_mode("off")
+    try:
+        g_scan = jax.jit(grad_fn)(x, keep, params)
+    finally:
+        set_bwd_kernel_mode(prev)
+
+    prev = set_bwd_kernel_mode("interpret")
+    try:
+        g_kernel = jax.jit(grad_fn)(x, keep, params)
+    finally:
+        set_bwd_kernel_mode(prev)
+
+    flat_s, _ = jax.tree_util.tree_flatten(g_scan)
+    flat_k, _ = jax.tree_util.tree_flatten(g_kernel)
+    for a, b_ in zip(flat_s, flat_k):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=2e-5, atol=2e-5
+        )
