@@ -231,6 +231,7 @@ def _lstm_bwd_kernel(
     *,
     t_len: int,
     chunk: int,
+    tile_b: int,
 ):
     """Reverse-time dgates chain, entire loop inside one Pallas program.
 
@@ -239,17 +240,22 @@ def _lstm_bwd_kernel(
     outside (ops/lstm_vjp.py).  Chunks of all three input series stream
     from HBM double-buffered; dgates chunks stream back out.  Padded steps
     (t >= t_len, processed FIRST in reverse order) pass the carry through.
+
+    Batch rows are independent, so large batches run as a grid over
+    ``tile_b``-row tiles (programs execute sequentially per core; each
+    tile's stream buffers fit VMEM regardless of the total batch).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    batch = dhf_ref.shape[0]
+    batch = tile_b
     h_dim = dhf_ref.shape[1]
     num_chunks = g_hbm.shape[0] // chunk
+    b0 = pl.program_id(0) * tile_b
 
     def body(g_buf, c_buf, dh_buf, out_buf, in_sem, out_sem, state_buf):
-        # state_buf: (2, B, H) = dh_carry, dc_carry
-        state_buf[0] = dhf_ref[:]
+        # state_buf: (2, tile_b, H) = dh_carry, dc_carry
+        state_buf[0] = dhf_ref[pl.ds(b0, tile_b)]
         state_buf[1] = jnp.zeros((batch, h_dim), jnp.float32)
         w_hh_t = w_hh_t_ref[:]
 
@@ -257,22 +263,26 @@ def _lstm_bwd_kernel(
             start = ci * chunk
             return [
                 pltpu.make_async_copy(
-                    g_hbm.at[pl.ds(start, chunk)], g_buf.at[slot],
+                    g_hbm.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
+                    g_buf.at[slot],
                     in_sem.at[slot, 0],
                 ),
                 pltpu.make_async_copy(
-                    c_hbm.at[pl.ds(start, chunk)], c_buf.at[slot],
+                    c_hbm.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
+                    c_buf.at[slot],
                     in_sem.at[slot, 1],
                 ),
                 pltpu.make_async_copy(
-                    dh_hbm.at[pl.ds(start, chunk)], dh_buf.at[slot],
+                    dh_hbm.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
+                    dh_buf.at[slot],
                     in_sem.at[slot, 2],
                 ),
             ]
 
         def dma_out(slot, ci):
             return pltpu.make_async_copy(
-                out_buf.at[slot], dg_hbm.at[pl.ds(ci * chunk, chunk)],
+                out_buf.at[slot],
+                dg_hbm.at[pl.ds(ci * chunk, chunk), pl.ds(b0, tile_b)],
                 out_sem.at[slot],
             )
 
@@ -360,9 +370,12 @@ def lstm_bwd_chain_pallas(
         c_prev_series = jnp.pad(c_prev_series, ((0, pad), (0, 0), (0, 0)))
         dh_series = jnp.pad(dh_series, ((0, pad), (0, 0), (0, 0)))
 
-    kernel = functools.partial(_lstm_bwd_kernel, t_len=t_len, chunk=chunk)
+    tile_b = _pick_tile_b(batch)
+    kernel = functools.partial(_lstm_bwd_kernel, t_len=t_len, chunk=chunk,
+                               tile_b=tile_b)
     out = pl.pallas_call(
         kernel,
+        grid=(batch // tile_b,),
         out_shape=jax.ShapeDtypeStruct((t_pad, batch, gates4), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -383,18 +396,253 @@ def lstm_bwd_chain_pallas(
     return out[:t_len]
 
 
+def _pick_tile_b(batch: int) -> int:
+    """Largest batch tile <= 32 that divides the batch (rows independent)."""
+    if batch <= 32:
+        return batch
+    for tile in (32, 16, 8):
+        if batch % tile == 0:
+            return tile
+    return batch
+
+
 def bwd_kernel_supported(batch: int, t_len: int, h_dim: int,
                          chunk: int = 8) -> bool:
     """VMEM feasibility + layout constraints for the backward kernel."""
+    tile = _pick_tile_b(batch)
+    if batch % tile != 0 or tile < 8:
+        return False
     gates4 = 4 * h_dim
     vmem = (
-        2 * chunk * batch * (2 * gates4 + 2 * h_dim) * 4  # stream buffers
+        2 * chunk * tile * (2 * gates4 + 2 * h_dim) * 4  # stream buffers
         + gates4 * h_dim * 4  # w_hh^T
-        + 2 * batch * h_dim * 4  # carry state
+        + 2 * tile * h_dim * 4  # carry state
     )
     return (
         vmem <= 12 * 1024 * 1024
         and h_dim % 128 == 0
-        and batch >= 8
         and t_len >= 1
     )
+
+
+# ---------------------------------------------------------------------------
+# Training forward: in-kernel 2-layer recurrence that STREAMS RESIDUALS out
+# ---------------------------------------------------------------------------
+
+
+def _lstm2_fwd_train_kernel(
+    ih0_hbm,   # (T_pad, B, 4H) ANY — hoisted layer-0 input projections
+    keep_hbm,  # (T_pad, B, H) ANY — inter-layer dropout keep mask
+    w_hh0_ref,  # (H, 4H) VMEM
+    w_ih1_ref,  # (H, 4H) VMEM
+    b1_ref,     # (1, 4H) VMEM
+    w_hh1_ref,  # (H, 4H) VMEM
+    res_hbm,    # (T_pad, B, 12H) ANY out — packed [g0|g1|h0|h1|c0|c1]
+    hf_ref,     # (B, H) VMEM out — final hidden of layer 1
+    *,
+    t_len: int,
+    chunk: int,
+    tile_b: int,
+):
+    """Forward recurrence in one Pallas program, residuals streamed to HBM.
+
+    The packed residual layout keeps ONE out-DMA per chunk; every lane
+    offset is a multiple of H (>= 128), a legal Mosaic slice.  The
+    backward (lstm_bwd_chain_pallas) consumes g/c_prev series; h_prev /
+    x_l series are cheap XLA shifts of the h streams outside the kernel.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = tile_b
+    h_dim = w_hh0_ref.shape[0]
+    g4 = 4 * h_dim
+    num_chunks = ih0_hbm.shape[0] // chunk
+    b0 = pl.program_id(0) * tile_b
+
+    def body(ih_buf, keep_buf, out_buf, in_sem, out_sem, state_buf):
+        # state_buf: (4, B, H) = h0, c0, h1, c1
+        state_buf[:] = jnp.zeros((4, batch, h_dim), jnp.float32)
+        w_hh0 = w_hh0_ref[:]
+        w_ih1 = w_ih1_ref[:]
+        b1 = b1_ref[:]
+        w_hh1 = w_hh1_ref[:]
+
+        def dma_in(slot, ci):
+            start = ci * chunk
+            return [
+                pltpu.make_async_copy(
+                    ih0_hbm.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
+                    ih_buf.at[slot], in_sem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    keep_hbm.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
+                    keep_buf.at[slot], in_sem.at[slot, 1],
+                ),
+            ]
+
+        def dma_out(slot, ci):
+            return pltpu.make_async_copy(
+                out_buf.at[slot],
+                res_hbm.at[pl.ds(ci * chunk, chunk), pl.ds(b0, tile_b)],
+                out_sem.at[slot],
+            )
+
+        for cpy in dma_in(0, 0):
+            cpy.start()
+
+        def chunk_body(ci, _):
+            slot = ci % 2
+
+            @pl.when(ci + 1 < num_chunks)
+            def _():
+                for cpy in dma_in((ci + 1) % 2, ci + 1):
+                    cpy.start()
+
+            for cpy in dma_in(slot, ci):
+                cpy.wait()
+
+            @pl.when(ci >= 2)
+            def _():
+                dma_out(slot, ci - 2).wait()
+
+            def step(s, _):
+                t = ci * chunk + s
+                h0 = state_buf[0]
+                c0 = state_buf[1]
+                h1 = state_buf[2]
+                c1 = state_buf[3]
+                gates0 = ih_buf[slot, s] + jnp.dot(
+                    h0, w_hh0, preferred_element_type=jnp.float32
+                )
+                h0n, c0n = _cell(h0, c0, gates0)
+                x1 = h0n * keep_buf[slot, s]
+                gates1 = (
+                    jnp.dot(x1, w_ih1, preferred_element_type=jnp.float32)
+                    + b1
+                    + jnp.dot(h1, w_hh1, preferred_element_type=jnp.float32)
+                )
+                h1n, c1n = _cell(h1, c1, gates1)
+                valid = t < t_len
+                out_buf[slot, s, :, 0 * g4:1 * g4] = gates0
+                out_buf[slot, s, :, 1 * g4:2 * g4] = gates1
+                off = 2 * g4
+                out_buf[slot, s, :, off:off + h_dim] = h0n
+                out_buf[slot, s, :, off + h_dim:off + 2 * h_dim] = h1n
+                out_buf[slot, s, :, off + 2 * h_dim:off + 3 * h_dim] = c0n
+                out_buf[slot, s, :, off + 3 * h_dim:off + 4 * h_dim] = c1n
+                state_buf[0] = jnp.where(valid, h0n, h0)
+                state_buf[1] = jnp.where(valid, c0n, c0)
+                state_buf[2] = jnp.where(valid, h1n, h1)
+                state_buf[3] = jnp.where(valid, c1n, c1)
+                return 0
+
+            jax.lax.fori_loop(0, chunk, step, 0, unroll=1)
+            dma_out(slot, ci).start()
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+        @pl.when(num_chunks >= 2)
+        def _():
+            dma_out(num_chunks % 2, num_chunks - 2).wait()
+
+        dma_out((num_chunks - 1) % 2, num_chunks - 1).wait()
+        hf_ref[:] = state_buf[2]
+
+    pl.run_scoped(
+        body,
+        ih_buf=pltpu.VMEM((2, chunk, batch, g4), jnp.float32),
+        keep_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        out_buf=pltpu.VMEM((2, chunk, batch, 12 * h_dim), jnp.float32),
+        in_sem=pltpu.SemaphoreType.DMA((2, 2)),
+        out_sem=pltpu.SemaphoreType.DMA((2,)),
+        state_buf=pltpu.VMEM((4, batch, h_dim), jnp.float32),
+    )
+
+
+def lstm2_train_fwd_pallas(
+    x_tm: jnp.ndarray,    # (T, B, D) time-major input
+    keep_tm: jnp.ndarray,  # (T, B, H) inter-layer keep mask
+    layer0: Dict[str, jnp.ndarray],
+    layer1: Dict[str, jnp.ndarray],
+    chunk: int = 4,
+    interpret: bool = False,
+):
+    """2-layer LSTM forward with residual streaming.
+
+    Returns ``(ys, h_final, g0, g1, h0_new, c0_new, c1_new)`` — everything
+    the hoisted-gradient backward needs (h_prev/c_prev series are shifts
+    of the *_new series; layer-1 input series is h0_new * keep).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_len, batch, _ = x_tm.shape
+    h_dim = layer0["w_hh"].shape[0]
+    g4 = 4 * h_dim
+
+    ih0 = (
+        x_tm.astype(jnp.float32) @ layer0["w_ih"].astype(jnp.float32)
+        + layer0["b"].astype(jnp.float32)
+    )
+    t_pad = ((t_len + chunk - 1) // chunk) * chunk
+    pad = t_pad - t_len
+    keep = keep_tm.astype(jnp.float32)
+    if pad:
+        ih0 = jnp.pad(ih0, ((0, pad), (0, 0), (0, 0)))
+        keep = jnp.pad(keep, ((0, pad), (0, 0), (0, 0)))
+
+    tile_b = _pick_tile_b(batch)
+    kernel = functools.partial(_lstm2_fwd_train_kernel, t_len=t_len,
+                               chunk=chunk, tile_b=tile_b)
+    res, h_final = pl.pallas_call(
+        kernel,
+        grid=(batch // tile_b,),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, batch, 12 * h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch, h_dim), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        ih0,
+        keep,
+        layer0["w_hh"].astype(jnp.float32),
+        layer1["w_ih"].astype(jnp.float32),
+        layer1["b"].astype(jnp.float32).reshape(1, -1),
+        layer1["w_hh"].astype(jnp.float32),
+    )
+    res = res[:t_len]
+    g0 = res[:, :, 0 * g4:1 * g4]
+    g1 = res[:, :, 1 * g4:2 * g4]
+    off = 2 * g4
+    h0_new = res[:, :, off:off + h_dim]
+    ys = res[:, :, off + h_dim:off + 2 * h_dim]
+    c0_new = res[:, :, off + 2 * h_dim:off + 3 * h_dim]
+    c1_new = res[:, :, off + 3 * h_dim:off + 4 * h_dim]
+    return ys, h_final, g0, g1, h0_new, c0_new, c1_new
+
+
+def fwd_kernel_supported(batch: int, t_len: int, h_dim: int,
+                         n_layers: int, chunk: int = 4) -> bool:
+    tile = _pick_tile_b(batch)
+    if n_layers != 2 or batch % tile != 0 or tile < 8:
+        return False
+    vmem = (
+        2 * chunk * tile * (4 * h_dim + h_dim + 12 * h_dim) * 4  # streams
+        + 3 * h_dim * 4 * h_dim * 4  # weights
+        + 4 * tile * h_dim * 4
+    )
+    return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and t_len >= 1

@@ -94,11 +94,12 @@ def _fwd_scan(x_tm, keep_tm, params):
     return carry, ys, res
 
 
-# Backward dgates chain dispatch: 'auto' uses the in-kernel Pallas chain
-# (ops/lstm_kernel.py:lstm_bwd_chain_pallas) on TPU when the shape
-# qualifies; 'interpret' forces it (emulated) for CPU parity tests; 'off'
-# keeps the XLA reverse scan.
+# Pallas kernel dispatch flags, read at TRACE time: 'auto' uses the
+# in-kernel path (ops/lstm_kernel.py) on TPU when the shape qualifies;
+# 'interpret' forces it (emulated) for CPU parity tests; 'off' keeps the
+# XLA scan.
 _BWD_KERNEL_MODE = "auto"
+_FWD_KERNEL_MODE = "auto"
 
 
 def set_bwd_kernel_mode(mode: str) -> str:
@@ -107,6 +108,58 @@ def set_bwd_kernel_mode(mode: str) -> str:
     assert mode in ("auto", "off", "interpret")
     _BWD_KERNEL_MODE = mode
     return prev
+
+
+def set_fwd_kernel_mode(mode: str) -> str:
+    global _FWD_KERNEL_MODE
+    prev = _FWD_KERNEL_MODE
+    assert mode in ("auto", "off", "interpret")
+    _FWD_KERNEL_MODE = mode
+    return prev
+
+
+def _fwd_kernel_ok(x_tm, params):
+    if _FWD_KERNEL_MODE == "off" or len(params) != 2:
+        return False, False
+    if "b" not in params[0]:  # GRU params: scan path only
+        return False, False
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        fwd_kernel_supported,
+    )
+
+    t_len, batch = x_tm.shape[0], x_tm.shape[1]
+    h_dim = params[0]["w_hh"].shape[0]
+    interpret = _FWD_KERNEL_MODE == "interpret"
+    on_tpu = jax.default_backend() == "tpu"
+    ok = (on_tpu or interpret) and fwd_kernel_supported(
+        batch, t_len, h_dim, len(params)
+    )
+    return ok, interpret
+
+
+def _fwd_pallas(x_tm, keep_tm, params, interpret):
+    """Kernel forward; reconstructs the scan-path residual structure."""
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        lstm2_train_fwd_pallas,
+    )
+
+    ys, h_final, g0, g1, h0_new, c0_new, c1_new = lstm2_train_fwd_pallas(
+        x_tm, keep_tm[:, 0], params[0], params[1], interpret=interpret
+    )
+
+    def shift(a):  # h_prev(t) = h_new(t-1), zero-initialized
+        return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
+
+    t_len = x_tm.shape[0]
+    res = (
+        (g0, shift(h0_new), shift(c0_new), jnp.zeros((t_len, 0))),
+        (g1, shift(ys), shift(c1_new), h0_new * keep_tm[:, 0]),
+    )
+    carry = (
+        (h0_new[-1], c0_new[-1]),
+        (h_final, c1_new[-1]),
+    )
+    return carry, ys, res
 
 
 def _bwd_layered_pallas(res, keep_tm, params, dys, dh_final, interpret):
@@ -220,8 +273,15 @@ def _keep_tm(keep):
 def _fused_fwd(x, keep, params):
     x_tm = jnp.swapaxes(x, 0, 1)
     keep_tm = _keep_tm(keep)
-    carry, ys, res = _fwd_scan(x_tm, keep_tm, params)
-    out = (jnp.swapaxes(ys, 0, 1), carry[-1][0])
+    use_kernel, interpret = _fwd_kernel_ok(x_tm, params)
+    if use_kernel:
+        carry, ys, res = _fwd_pallas(x_tm, keep_tm, params, interpret)
+        dtype = x.dtype
+        out = (jnp.swapaxes(ys, 0, 1).astype(dtype),
+               carry[-1][0].astype(dtype))
+    else:
+        carry, ys, res = _fwd_scan(x_tm, keep_tm, params)
+        out = (jnp.swapaxes(ys, 0, 1), carry[-1][0])
     return out, (x_tm, keep_tm, params, res, carry)
 
 

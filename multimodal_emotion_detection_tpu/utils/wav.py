@@ -29,12 +29,21 @@ def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
     Returns:
         (samples (T,), sample_rate)
     """
-    with wave.open(str(path), "rb") as wf:
-        n_channels = wf.getnchannels()
-        sample_width = wf.getsampwidth()
-        sample_rate = wf.getframerate()
-        n_frames = wf.getnframes()
-        raw = wf.readframes(n_frames)
+    try:
+        with wave.open(str(path), "rb") as wf:
+            n_channels = wf.getnchannels()
+            sample_width = wf.getsampwidth()
+            sample_rate = wf.getframerate()
+            n_frames = wf.getnframes()
+            raw = wf.readframes(n_frames)
+    except (wave.Error, EOFError) as exc:
+        # the stdlib module only decodes plain PCM RIFF; give a crisp
+        # error instead of its opaque 'unknown format: 65534'
+        raise ValueError(
+            f"{path}: not a plain-PCM WAV the stdlib reader can decode "
+            f"({exc}). Compressed or WAVE_FORMAT_EXTENSIBLE files must be "
+            "converted first (e.g. ffmpeg -i in.wav -c:a pcm_s16le out.wav)."
+        ) from exc
 
     if sample_width == 2:
         data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0

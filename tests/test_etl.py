@@ -342,3 +342,20 @@ def test_manifest_etl_error_paths(tmp_path):
     (tmp_path / "missing.csv").write_text("label,audio\n0,nope.wav\n")
     with pytest.raises(FileNotFoundError, match="audio"):
         build_manifest_multimodal(tmp_path / "missing.csv", tmp_path / "o")
+
+
+def test_wav_reader_crisp_error_on_non_pcm(tmp_path):
+    """Non-PCM WAV containers raise an actionable error, not a stdlib one."""
+    # minimal RIFF/WAVE header claiming WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)
+    blob = (
+        b"RIFF" + struct.pack("<I", 36 + len(fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    p = tmp_path / "ext.wav"
+    p.write_bytes(blob)
+    with pytest.raises(ValueError, match="plain-PCM"):
+        read_wav(p)

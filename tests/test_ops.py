@@ -395,3 +395,91 @@ def test_lstm_bwd_chain_kernel_matches_xla_scan():
         np.testing.assert_allclose(
             np.asarray(b_), np.asarray(a), rtol=2e-5, atol=2e-5
         )
+
+
+def test_lstm_bwd_chain_kernel_batch_tiled():
+    """Grid-tiled large batch (B=64 -> two 32-row tiles) == XLA scan."""
+    from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
+        fused_lstm,
+        set_bwd_kernel_mode,
+    )
+
+    b, t, d, h = 64, 13, 8, 128
+    ks = jax.random.split(jax.random.PRNGKey(5), 6)
+    x = jax.random.normal(ks[0], (b, t, d))
+    keep = jnp.ones((b, t, 1, h), jnp.float32)
+    params = tuple(
+        {
+            "w_ih": 0.3 * jax.random.normal(ks[1 + 2 * l],
+                                            (d if l == 0 else h, 4 * h)),
+            "w_hh": 0.3 * jax.random.normal(ks[2 + 2 * l], (h, 4 * h)),
+            "b": jnp.zeros((4 * h,)),
+        }
+        for l in range(2)
+    )
+
+    def loss(x):
+        ys, h_final = fused_lstm(x, keep, params)
+        return jnp.sum(jnp.sin(ys)) + jnp.sum(h_final ** 2)
+
+    prev = set_bwd_kernel_mode("off")
+    try:
+        g_scan = jax.jit(jax.grad(loss))(x)
+    finally:
+        set_bwd_kernel_mode(prev)
+    prev = set_bwd_kernel_mode("interpret")
+    try:
+        g_kernel = jax.jit(jax.grad(loss))(x)
+    finally:
+        set_bwd_kernel_mode(prev)
+    np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_scan),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_lstm_fwd_train_kernel_matches_scan():
+    """In-kernel training forward (streamed residuals) == XLA scan:
+    identical primals AND identical gradients through the full VJP."""
+    from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
+        fused_lstm,
+        set_bwd_kernel_mode,
+        set_fwd_kernel_mode,
+    )
+
+    b, t, d, h = 8, 21, 12, 128
+    ks = jax.random.split(jax.random.PRNGKey(2), 6)
+    x = jax.random.normal(ks[0], (b, t, d))
+    keep = (jax.random.uniform(ks[1], (b, t, 1, h)) > 0.25).astype(jnp.float32)
+    params = tuple(
+        {
+            "w_ih": 0.3 * jax.random.normal(ks[2 + 2 * l],
+                                            (d if l == 0 else h, 4 * h)),
+            "w_hh": 0.3 * jax.random.normal(ks[3 + 2 * l], (h, 4 * h)),
+            "b": jnp.full((4 * h,), 0.05),
+        }
+        for l in range(2)
+    )
+
+    def loss(x, keep, params):
+        ys, h_final = fused_lstm(x, keep, params)
+        return jnp.sum(ys * jnp.sin(ys)) + jnp.sum(h_final ** 2)
+
+    vg = jax.value_and_grad(loss, argnums=(0, 1, 2))
+
+    prev_f, prev_b = set_fwd_kernel_mode("off"), set_bwd_kernel_mode("off")
+    try:
+        val_scan, g_scan = jax.jit(vg)(x, keep, params)
+    finally:
+        set_fwd_kernel_mode(prev_f), set_bwd_kernel_mode(prev_b)
+
+    prev_f = set_fwd_kernel_mode("interpret")
+    prev_b = set_bwd_kernel_mode("interpret")
+    try:
+        val_kern, g_kern = jax.jit(vg)(x, keep, params)
+    finally:
+        set_fwd_kernel_mode(prev_f), set_bwd_kernel_mode(prev_b)
+
+    np.testing.assert_allclose(float(val_kern), float(val_scan), rtol=1e-6)
+    for a, bb in zip(jax.tree_util.tree_leaves(g_scan),
+                     jax.tree_util.tree_leaves(g_kern)):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
