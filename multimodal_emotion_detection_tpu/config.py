@@ -189,6 +189,9 @@ class RuntimeConfig:
     debug_nans: bool = False  # jit-time NaN checking (debug flag)
     profile_dir: Optional[str] = None  # jax.profiler trace output
     donate_state: bool = True
+    # Pallas in-kernel LSTM recurrence for training fwd/bwd:
+    # 'auto' (on TPU when the shape qualifies) | 'off' (XLA scans)
+    lstm_kernels: str = "auto"
 
 
 @dataclass

@@ -548,7 +548,8 @@ def _lstm2_fwd_train_kernel(
             dma_out(num_chunks % 2, num_chunks - 2).wait()
 
         dma_out((num_chunks - 1) % 2, num_chunks - 1).wait()
-        hf_ref[:] = state_buf[2]
+        # this grid program's batch-tile slice of the final hidden state
+        hf_ref[pl.ds(b0, tile_b)] = state_buf[2]
 
     pl.run_scoped(
         body,

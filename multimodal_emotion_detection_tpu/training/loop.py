@@ -79,6 +79,15 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build(self, train_loader: MultimodalLoader) -> None:
         cfg = self.config
+        kernels = getattr(cfg.runtime, "lstm_kernels", "auto")
+        if kernels in ("auto", "off"):
+            from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
+                set_bwd_kernel_mode,
+                set_fwd_kernel_mode,
+            )
+
+            set_fwd_kernel_mode(kernels)
+            set_bwd_kernel_mode(kernels)
         steps_per_epoch = len(train_loader)
         tx, schedule = build_optimizer(cfg.training, steps_per_epoch)
         self._schedule = schedule

@@ -483,3 +483,34 @@ def test_lstm_fwd_train_kernel_matches_scan():
                      jax.tree_util.tree_leaves(g_kern)):
         np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_lstm_fwd_train_kernel_batch_tiled():
+    """Grid-tiled forward (B=64 -> two 32-row tiles): primals + h_final.
+
+    Pins the bug the on-chip run caught: the final-hidden store must
+    target this program's batch-tile slice, not the full output ref.
+    """
+    from multimodal_emotion_detection_tpu.models.recurrent import (
+        FusedStackedRNN,
+    )
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        lstm2_train_fwd_pallas,
+    )
+
+    b, t, d, h = 64, 11, 8, 128
+    x = jax.random.normal(jax.random.PRNGKey(9), (b, t, d))
+    ref = FusedStackedRNN(hidden_dim=h, num_layers=2, cell_type="lstm")
+    variables = jax.jit(lambda k: ref.init(k, x))(jax.random.PRNGKey(10))
+    ys_ref, h_ref = ref.apply(variables, x)
+
+    p = variables["params"]
+    x_tm = jnp.swapaxes(x, 0, 1)
+    keep = jnp.ones((t, b, h), jnp.float32)
+    ys, h_final, *_ = lstm2_train_fwd_pallas(
+        x_tm, keep, p["layer_0"], p["layer_1"], interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(h_final), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(ys, 0, 1)),
+                               np.asarray(ys_ref), rtol=1e-5, atol=1e-5)
