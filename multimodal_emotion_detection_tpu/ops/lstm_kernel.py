@@ -406,9 +406,21 @@ def _pick_tile_b(batch: int) -> int:
     return batch
 
 
+# Measured crossover (v5e, benchmarks/r2c_tpu.json): in-kernel recurrence
+# wins when the step is dispatch/latency-bound (batch 32: +13% bwd, +10%
+# fwd) and LOSES once per-step matmuls are big enough to saturate the MXU
+# and the sequential grid serializes tiles (batch 256 bf16: 10.2k vs
+# 14.0k clips/s).  Auto mode therefore engages only at batch <= 32 (one
+# tile, no grid); the tiled path stays correct (exact parity at B=256)
+# for explicit use and future tuning.
+_AUTO_MAX_BATCH = 32
+
+
 def bwd_kernel_supported(batch: int, t_len: int, h_dim: int,
-                         chunk: int = 8) -> bool:
+                         chunk: int = 8, allow_large: bool = False) -> bool:
     """VMEM feasibility + layout constraints for the backward kernel."""
+    if batch > _AUTO_MAX_BATCH and not allow_large:
+        return False
     tile = _pick_tile_b(batch)
     if batch % tile != 0 or tile < 8:
         return False
@@ -637,7 +649,10 @@ def lstm2_train_fwd_pallas(
 
 
 def fwd_kernel_supported(batch: int, t_len: int, h_dim: int,
-                         n_layers: int, chunk: int = 4) -> bool:
+                         n_layers: int, chunk: int = 4,
+                         allow_large: bool = False) -> bool:
+    if batch > _AUTO_MAX_BATCH and not allow_large:
+        return False
     tile = _pick_tile_b(batch)
     if n_layers != 2 or batch % tile != 0 or tile < 8:
         return False
@@ -645,5 +660,203 @@ def fwd_kernel_supported(batch: int, t_len: int, h_dim: int,
         2 * chunk * tile * (4 * h_dim + h_dim + 12 * h_dim) * 4  # streams
         + 3 * h_dim * 4 * h_dim * 4  # weights
         + 4 * tile * h_dim * 4
+    )
+    return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and t_len >= 1
+
+
+# ---------------------------------------------------------------------------
+# GRU training backward: in-kernel reverse chain (one layer per call)
+# ---------------------------------------------------------------------------
+
+
+def _gru_cell_bwd_k(dh_t, h_prev, r, z, n, hn):
+    """GRU step backward (pre-activation gate grads); pure VPU math."""
+    dz = dh_t * (h_prev - n)
+    dn = dh_t * (1.0 - z)
+    dh_direct = dh_t * z
+    dn_pre = dn * (1.0 - n * n)
+    dhn = dn_pre * r
+    dr = dn_pre * hn
+    dr_pre = dr * r * (1.0 - r)
+    dz_pre = dz * z * (1.0 - z)
+    dih = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+    dhh = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
+    return dih, dhh, dh_direct
+
+
+def _gru_bwd_kernel(
+    res_hbm,  # (T_pad, B, 5H) ANY — packed [h_prev|r|z|n|hn]
+    dh_hbm,   # (T_pad, B, H) ANY — per-step incoming dh contributions
+    dhf_ref,  # (B, H) VMEM — gradient wrt the final hidden state
+    w_hh_t_ref,  # (3H, H) VMEM — transposed recurrence weights
+    dg_hbm,   # (T_pad, B, 6H) ANY out — packed [dih|dhh]
+    *,
+    t_len: int,
+    chunk: int,
+    tile_b: int,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = tile_b
+    h_dim = dhf_ref.shape[1]
+    num_chunks = res_hbm.shape[0] // chunk
+    b0 = pl.program_id(0) * tile_b
+
+    def body(res_buf, dh_buf, out_buf, in_sem, out_sem, state_buf):
+        state_buf[0] = dhf_ref[pl.ds(b0, tile_b)]
+        w_hh_t = w_hh_t_ref[:]
+
+        def dma_in(slot, ci):
+            start = ci * chunk
+            return [
+                pltpu.make_async_copy(
+                    res_hbm.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
+                    res_buf.at[slot], in_sem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    dh_hbm.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
+                    dh_buf.at[slot], in_sem.at[slot, 1],
+                ),
+            ]
+
+        def dma_out(slot, ci):
+            return pltpu.make_async_copy(
+                out_buf.at[slot],
+                dg_hbm.at[pl.ds(ci * chunk, chunk), pl.ds(b0, tile_b)],
+                out_sem.at[slot],
+            )
+
+        for cpy in dma_in(0, num_chunks - 1):
+            cpy.start()
+
+        def chunk_body(k, _):
+            ci = num_chunks - 1 - k
+            slot = k % 2
+
+            @pl.when(ci - 1 >= 0)
+            def _():
+                for cpy in dma_in((k + 1) % 2, ci - 1):
+                    cpy.start()
+
+            for cpy in dma_in(slot, ci):
+                cpy.wait()
+
+            @pl.when(k >= 2)
+            def _():
+                dma_out(slot, ci + 2).wait()
+
+            def step(s_fwd, _):
+                s = chunk - 1 - s_fwd
+                t = ci * chunk + s
+                dh_carry = state_buf[0]
+                res_t = res_buf[slot, s]
+                h_prev = res_t[:, 0 * h_dim:1 * h_dim]
+                r = res_t[:, 1 * h_dim:2 * h_dim]
+                z = res_t[:, 2 * h_dim:3 * h_dim]
+                n = res_t[:, 3 * h_dim:4 * h_dim]
+                hn = res_t[:, 4 * h_dim:5 * h_dim]
+                dh_t = dh_carry + dh_buf[slot, s]
+                dih, dhh, dh_direct = _gru_cell_bwd_k(dh_t, h_prev, r, z,
+                                                      n, hn)
+                dh_prev = dh_direct + jnp.dot(
+                    dhh, w_hh_t, preferred_element_type=jnp.float32
+                )
+                valid = t < t_len
+                out_buf[slot, s, :, 0:3 * h_dim] = jnp.where(valid, dih, 0.0)
+                out_buf[slot, s, :, 3 * h_dim:6 * h_dim] = jnp.where(
+                    valid, dhh, 0.0
+                )
+                state_buf[0] = jnp.where(valid, dh_prev, dh_carry)
+                return 0
+
+            jax.lax.fori_loop(0, chunk, step, 0, unroll=1)
+            dma_out(slot, ci).start()
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+        @pl.when(num_chunks >= 2)
+        def _():
+            dma_out((num_chunks - 2) % 2, 1).wait()
+
+        dma_out((num_chunks - 1) % 2, 0).wait()
+
+    pl.run_scoped(
+        body,
+        res_buf=pltpu.VMEM((2, chunk, batch, 5 * h_dim), jnp.float32),
+        dh_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        out_buf=pltpu.VMEM((2, chunk, batch, 6 * h_dim), jnp.float32),
+        in_sem=pltpu.SemaphoreType.DMA((2, 2)),
+        out_sem=pltpu.SemaphoreType.DMA((2,)),
+        state_buf=pltpu.VMEM((1, batch, h_dim), jnp.float32),
+    )
+
+
+def gru_bwd_chain_pallas(
+    h_prev_s: jnp.ndarray,  # (T, B, H)
+    r_s: jnp.ndarray,
+    z_s: jnp.ndarray,
+    n_s: jnp.ndarray,
+    hn_s: jnp.ndarray,
+    dh_series: jnp.ndarray,  # (T, B, H)
+    dh_final: jnp.ndarray,   # (B, H)
+    w_hh: jnp.ndarray,       # (H, 3H)
+    chunk: int = 8,
+    interpret: bool = False,
+):
+    """(dih_series, dhh_series) of one GRU layer, reverse chain in-kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_len, batch, h_dim = h_prev_s.shape
+    res = jnp.concatenate(
+        [h_prev_s, r_s, z_s, n_s, hn_s], axis=-1
+    ).astype(jnp.float32)
+    t_pad = ((t_len + chunk - 1) // chunk) * chunk
+    pad = t_pad - t_len
+    dh = dh_series.astype(jnp.float32)
+    if pad:
+        res = jnp.pad(res, ((0, pad), (0, 0), (0, 0)))
+        dh = jnp.pad(dh, ((0, pad), (0, 0), (0, 0)))
+
+    tile_b = _pick_tile_b(batch)
+    kernel = functools.partial(_gru_bwd_kernel, t_len=t_len, chunk=chunk,
+                               tile_b=tile_b)
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch // tile_b,),
+        out_shape=jax.ShapeDtypeStruct((t_pad, batch, 6 * h_dim),
+                                       jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        interpret=interpret,
+    )(
+        res,
+        dh,
+        dh_final.astype(jnp.float32),
+        w_hh.astype(jnp.float32).T,
+    )
+    out = out[:t_len]
+    return out[:, :, :3 * h_dim], out[:, :, 3 * h_dim:]
+
+
+def gru_bwd_kernel_supported(batch: int, t_len: int, h_dim: int,
+                             chunk: int = 8,
+                             allow_large: bool = False) -> bool:
+    if batch > _AUTO_MAX_BATCH and not allow_large:
+        return False
+    tile = _pick_tile_b(batch)
+    if batch % tile != 0 or tile < 8:
+        return False
+    vmem = (
+        2 * chunk * tile * (5 + 1 + 6) * h_dim * 4
+        + 3 * h_dim * h_dim * 4
+        + tile * h_dim * 4
     )
     return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and t_len >= 1

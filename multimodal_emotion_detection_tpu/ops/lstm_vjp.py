@@ -132,7 +132,7 @@ def _fwd_kernel_ok(x_tm, params):
     interpret = _FWD_KERNEL_MODE == "interpret"
     on_tpu = jax.default_backend() == "tpu"
     ok = (on_tpu or interpret) and fwd_kernel_supported(
-        batch, t_len, h_dim, len(params)
+        batch, t_len, h_dim, len(params), allow_large=interpret
     )
     return ok, interpret
 
@@ -209,7 +209,7 @@ def _bwd_dgates(res, keep_tm, params, dys, dh_final):
         on_tpu = jax.default_backend() == "tpu"
         interpret = _BWD_KERNEL_MODE == "interpret"
         if (on_tpu or interpret) and bwd_kernel_supported(
-            batch, t_len, h_dim
+            batch, t_len, h_dim, allow_large=interpret
         ):
             return _bwd_layered_pallas(
                 res, keep_tm, params, dys, dh_final, interpret
@@ -415,6 +415,53 @@ def _gru_vjp_fwd(x, keep, params):
                                                  carry)
 
 
+def _gru_bwd_layered_pallas(res, keep_tm, params, dys, dh_final, interpret):
+    """Per-layer in-kernel GRU reverse chains, top-down (see LSTM twin)."""
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        gru_bwd_chain_pallas,
+    )
+
+    n_layers = len(params)
+    batch = dys.shape[1]
+    h_dim = params[0]["w_hh"].shape[0]
+    dih_series = [None] * n_layers
+    dhh_series = [None] * n_layers
+    dh_contrib = dys
+    zeros_hf = jnp.zeros((batch, h_dim), dys.dtype)
+    for layer in reversed(range(n_layers)):
+        h_prev_s, r_s, z_s, n_s, hn_s, _ = res[layer]
+        dhf = dh_final if layer == n_layers - 1 else zeros_hf
+        dih, dhh = gru_bwd_chain_pallas(
+            h_prev_s, r_s, z_s, n_s, hn_s, dh_contrib, dhf,
+            params[layer]["w_hh"], interpret=interpret,
+        )
+        dih_series[layer] = dih
+        dhh_series[layer] = dhh
+        if layer > 0:
+            dx = dih.reshape(-1, 3 * h_dim) @ params[layer]["w_ih"].T
+            dh_contrib = dx.reshape(dih.shape[0], batch, h_dim) * keep_tm[
+                :, layer - 1
+            ]
+    return tuple(dih_series), tuple(dhh_series)
+
+
+def _gru_bwd_kernel_ok(dys, params):
+    if _BWD_KERNEL_MODE == "off":
+        return False, False
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        gru_bwd_kernel_supported,
+    )
+
+    t_len, batch = dys.shape[0], dys.shape[1]
+    h_dim = params[0]["w_hh"].shape[0]
+    interpret = _BWD_KERNEL_MODE == "interpret"
+    on_tpu = jax.default_backend() == "tpu"
+    ok = (on_tpu or interpret) and gru_bwd_kernel_supported(
+        batch, t_len, h_dim, allow_large=interpret
+    )
+    return ok, interpret
+
+
 def _gru_vjp_bwd(saved, grads):
     x_tm, keep_tm, params, res, carry = saved
     dys_bt, dh_final = grads
@@ -451,9 +498,15 @@ def _gru_vjp_bwd(saved, grads):
         dh_final if layer == n_layers - 1 else zeros
         for layer in range(n_layers)
     )
-    _, (dih_series, dhh_series) = jax.lax.scan(
-        step, init, (res, keep_tm, dys), reverse=True, unroll=4
-    )
+    use_kernel, interpret = _gru_bwd_kernel_ok(dys, params)
+    if use_kernel:
+        dih_series, dhh_series = _gru_bwd_layered_pallas(
+            res, keep_tm, params, dys, dh_final, interpret
+        )
+    else:
+        _, (dih_series, dhh_series) = jax.lax.scan(
+            step, init, (res, keep_tm, dys), reverse=True, unroll=4
+        )
 
     t_len = x_tm.shape[0]
 

@@ -514,3 +514,46 @@ def test_lstm_fwd_train_kernel_batch_tiled():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(jnp.swapaxes(ys, 0, 1)),
                                np.asarray(ys_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_gru_bwd_chain_kernel_matches_xla_scan():
+    """GRU in-kernel reverse chain == XLA-scan backward (full VJP)."""
+    from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
+        fused_gru,
+        set_bwd_kernel_mode,
+    )
+
+    b, t, d, h = 8, 19, 10, 128
+    ks = jax.random.split(jax.random.PRNGKey(4), 8)
+    x = jax.random.normal(ks[0], (b, t, d))
+    keep = (jax.random.uniform(ks[1], (b, t, 1, h)) > 0.3).astype(jnp.float32)
+    params = tuple(
+        {
+            "w_ih": 0.3 * jax.random.normal(ks[2 + 3 * l],
+                                            (d if l == 0 else h, 3 * h)),
+            "w_hh": 0.3 * jax.random.normal(ks[3 + 3 * l], (h, 3 * h)),
+            "b_ih": 0.1 * jax.random.normal(ks[4 + 3 * l], (3 * h,)),
+            "b_hh": jnp.zeros((3 * h,)),
+        }
+        for l in range(2)
+    )
+
+    def loss(x, keep, params):
+        ys, h_final = fused_gru(x, keep, params)
+        return jnp.sum(ys * jnp.cos(ys)) + 2.0 * jnp.sum(h_final ** 2)
+
+    grad_fn = jax.grad(loss, argnums=(0, 1, 2))
+    prev = set_bwd_kernel_mode("off")
+    try:
+        g_scan = jax.jit(grad_fn)(x, keep, params)
+    finally:
+        set_bwd_kernel_mode(prev)
+    prev = set_bwd_kernel_mode("interpret")
+    try:
+        g_kernel = jax.jit(grad_fn)(x, keep, params)
+    finally:
+        set_bwd_kernel_mode(prev)
+    for a, bb in zip(jax.tree_util.tree_leaves(g_scan),
+                     jax.tree_util.tree_leaves(g_kernel)):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
