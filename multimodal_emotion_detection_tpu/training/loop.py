@@ -79,15 +79,25 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build(self, train_loader: MultimodalLoader) -> None:
         cfg = self.config
+        n_devices = len(jax.devices())
+        use_mesh = n_devices > 1 or cfg.parallel.model_parallel > 1
+
         kernels = getattr(cfg.runtime, "lstm_kernels", "auto")
-        if kernels in ("auto", "off"):
+        if kernels == "auto" and use_mesh:
+            # GSPMD partitioning of the manual-DMA recurrence kernels is
+            # not yet validated on multi-chip hardware (single chip in
+            # this environment); under a mesh the XLA scans are the safe
+            # default.  'force' opts in regardless.
+            kernels = "off"
+        if kernels in ("auto", "off", "force"):
             from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
                 set_bwd_kernel_mode,
                 set_fwd_kernel_mode,
             )
 
-            set_fwd_kernel_mode(kernels)
-            set_bwd_kernel_mode(kernels)
+            mode = "auto" if kernels == "force" else kernels
+            set_fwd_kernel_mode(mode)
+            set_bwd_kernel_mode(mode)
         steps_per_epoch = len(train_loader)
         tx, schedule = build_optimizer(cfg.training, steps_per_epoch)
         self._schedule = schedule
@@ -106,8 +116,6 @@ class Trainer:
 
         # Multi-device: jit the same step over a ('data','model') mesh.
         # Single chip keeps the plain path (identical numerics, tested).
-        n_devices = len(jax.devices())
-        use_mesh = n_devices > 1 or cfg.parallel.model_parallel > 1
         if use_mesh:
             from multimodal_emotion_detection_tpu.parallel.mesh import (
                 mesh_from_config,
