@@ -96,6 +96,13 @@ class FrontendConfig:
     video_height: int = 64
     video_width: int = 64
     use_pallas: bool = True  # fall back to pure-XLA path off-TPU
+    # Precompute the audio features ONCE per split (device-resident path)
+    # instead of inside every train step.  The frontend is parameter-free
+    # and deterministic, so numerics are identical; at the flagship shape
+    # it is ~35% of the step (benchmarks/r2f_tpu.json), so caching is the
+    # single largest throughput lever.  Checkpoints are unaffected (the
+    # frontend holds no parameters).
+    cache: bool = False
 
 
 @dataclass

@@ -201,27 +201,45 @@ class MultimodalClassifier(nn.Module):
         return logits
 
 
+def logmel_params_from_config(fe) -> LogMelParams:
+    """FrontendConfig -> LogMelParams (shared by model + feature cache)."""
+    return LogMelParams(
+        sample_rate=fe.sample_rate,
+        n_fft=fe.n_fft,
+        hop_length=fe.hop_length,
+        win_length=fe.win_length,
+        n_mels=fe.n_mels,
+        fmin=fe.fmin,
+        fmax=fe.fmax,
+        log_epsilon=fe.log_epsilon,
+    )
+
+
 def classifier_from_config(config) -> MultimodalClassifier:
     """Build the flagship model from a ``Config`` (see config.py)."""
     fe = config.model.frontend
     frontend = None
+    encoder_overrides = {}
     if fe.audio in ("logmel", "mfcc"):
-        frontend = LogMelParams(
-            sample_rate=fe.sample_rate,
-            n_fft=fe.n_fft,
-            hop_length=fe.hop_length,
-            win_length=fe.win_length,
-            n_mels=fe.n_mels,
-            fmin=fe.fmin,
-            fmax=fe.fmax,
-            log_epsilon=fe.log_epsilon,
-        )
+        if getattr(fe, "cache", False):
+            # features are precomputed per split (training/loop.py); the
+            # model consumes them directly — same numerics, no in-graph
+            # frontend, and an identical (frontend-parameter-free) tree
+            width = fe.n_mfcc if fe.audio == "mfcc" else fe.n_mels
+            encoder_overrides = {"audio": {"input_dim": width}}
+        else:
+            frontend = logmel_params_from_config(fe)
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
         config.runtime.compute_dtype
     ]
+    encoder_configs = {
+        name: dict(cfg) for name, cfg in dict(config.model.encoders).items()
+    }
+    for name, over in encoder_overrides.items():
+        encoder_configs.setdefault(name, {}).update(over)
     return MultimodalClassifier(
         modalities=tuple(config.dataset.modalities),
-        encoder_configs=dict(config.model.encoders),
+        encoder_configs=encoder_configs,
         num_classes=config.dataset.num_classes,
         output_dim=config.model.output_dim,
         hidden_dim=config.model.hidden_dim,

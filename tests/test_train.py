@@ -477,3 +477,57 @@ def test_bf16_compute_matches_fp32_metrics(tmp_path):
     bf16 = run("bfloat16", "bf16")
     assert abs(bf16["val/acc"] - fp32["val/acc"]) <= 0.05, (fp32, bf16)
     assert abs(bf16["val/loss"] - fp32["val/loss"]) <= 0.15 * fp32["val/loss"]
+
+
+def test_cached_frontend_matches_per_step_frontend(tmp_path):
+    """frontend.cache=true == the in-graph per-step frontend, bitwise-level.
+
+    The frontend is parameter-free and deterministic, so precomputing the
+    features once per split (the round-2 throughput lever,
+    benchmarks/r2f_tpu.json) must not change a single metric.  Trains the
+    same data with both wirings and compares full metric histories.
+    """
+    from multimodal_emotion_detection_tpu.data.dataset import MultimodalArrays
+    from multimodal_emotion_detection_tpu.data.loader import MultimodalLoader
+
+    def build_cfg(cache):
+        cfg = tiny_config()
+        cfg.dataset.modalities = ["audio"]
+        cfg.model.encoders = {
+            "audio": {"type": "sequence", "encoder_type": "lstm",
+                      "hidden_dim": 16, "num_layers": 2},
+        }
+        cfg.model.frontend.audio = "logmel"
+        cfg.model.frontend.use_pallas = False
+        cfg.model.frontend.cache = cache
+        cfg.training.max_epochs = 2
+        return cfg
+
+    rng = np.random.RandomState(7)
+    raw = rng.randn(24, 4096, 1).astype(np.float32)
+    labels = rng.randint(0, 4, 24).astype(np.int32)
+
+    def loaders():
+        def one(seed):
+            arrays = MultimodalArrays(
+                features={"audio": raw.copy()}, labels=labels.copy(),
+                modalities=["audio"],
+            )
+            return MultimodalLoader(arrays, batch_size=8, shuffle=True,
+                                    seed=seed)
+        return one(0), one(1)
+
+    histories = {}
+    for cache in (False, True):
+        tr, va = loaders()
+        t = Trainer(build_cfg(cache), save_dir=tmp_path / f"cache_{cache}")
+        t.fit(tr, va)
+        histories[cache] = t.history
+        if cache:
+            # the cache actually happened: raw audio was replaced
+            assert tr.arrays.features["audio"].shape[1:] != raw.shape[1:]
+
+    for row_a, row_b in zip(histories[False], histories[True]):
+        for key in ("train/loss", "val/loss", "train/acc", "val/acc"):
+            np.testing.assert_allclose(row_a[key], row_b[key], rtol=1e-6,
+                                       err_msg=key)
