@@ -183,6 +183,10 @@ def main(argv=None):
         config_path = argv[1]
         argv = argv[2:]
     config = load_config(config_path, argv)
+    # these tools feed RAW features to the model, so the frontend must run
+    # in-graph even if the training run cached features per split (the
+    # checkpoint is identical either way: the frontend has no parameters)
+    config.model.frontend.cache = False
     setup_from_config(config)
 
     train_loader, val_loader, test_loader = create_dataloaders(

@@ -105,6 +105,10 @@ def main(argv=None):
     from multimodal_emotion_detection_tpu.utils.runtime import setup_from_config
 
     config = load_config(args.config, args.overrides)
+    # these tools feed RAW features to the model, so the frontend must run
+    # in-graph even if the training run cached features per split (the
+    # checkpoint is identical either way: the frontend has no parameters)
+    config.model.frontend.cache = False
     setup_from_config(config)
     return export_model(config, args.checkpoint, args.batch, args.out)
 

@@ -79,6 +79,9 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build(self, train_loader: MultimodalLoader) -> None:
         cfg = self.config
+        # must run before the init sample is drawn: with frontend.cache
+        # the model consumes precomputed features, not raw waveforms
+        self._maybe_cache_frontend(train_loader)
         n_devices = len(jax.devices())
         use_mesh = n_devices > 1 or cfg.parallel.model_parallel > 1
 

@@ -531,3 +531,42 @@ def test_cached_frontend_matches_per_step_frontend(tmp_path):
         for key in ("train/loss", "val/loss", "train/acc", "val/acc"):
             np.testing.assert_allclose(row_a[key], row_b[key], rtol=1e-6,
                                        err_msg=key)
+
+
+def test_cached_frontend_checkpoint_compatible():
+    """cache=true and cache=false build IDENTICAL parameter trees.
+
+    The frontend holds no parameters, so a checkpoint trained with cached
+    features restores into the in-graph-frontend model (what
+    tools/predict.py, export.py and debug.py rebuild for raw inputs).
+    """
+    import jax
+
+    from multimodal_emotion_detection_tpu.models.classifier import (
+        classifier_from_config,
+    )
+
+    def build(cache):
+        cfg = tiny_config()
+        cfg.dataset.modalities = ["audio"]
+        cfg.model.encoders = {
+            "audio": {"type": "sequence", "encoder_type": "lstm",
+                      "hidden_dim": 16, "num_layers": 2},
+        }
+        cfg.model.frontend.audio = "logmel"
+        cfg.model.frontend.use_pallas = False
+        cfg.model.frontend.cache = cache
+        model = classifier_from_config(cfg)
+        if cache:
+            feats = {"audio": jnp.zeros((4, 31, 64))}  # precomputed shape
+        else:
+            feats = {"audio": jnp.zeros((4, 4096, 1))}  # raw waveform
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), feats)
+        return variables["params"]
+
+    cached, raw = build(True), build(False)
+    flat_c = jax.tree_util.tree_flatten_with_path(cached)[0]
+    flat_r = jax.tree_util.tree_flatten_with_path(raw)[0]
+    assert [(p, v.shape) for p, v in flat_c] == [
+        (p, v.shape) for p, v in flat_r
+    ]
