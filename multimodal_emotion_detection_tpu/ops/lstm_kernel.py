@@ -860,3 +860,221 @@ def gru_bwd_kernel_supported(batch: int, t_len: int, h_dim: int,
         + tile * h_dim * 4
     )
     return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and t_len >= 1
+
+
+# ---------------------------------------------------------------------------
+# GRU training forward: in-kernel 2-layer recurrence with residual streaming
+# ---------------------------------------------------------------------------
+
+
+def _gru_step(h, ih_t, w_hh, b_hh, h_dim):
+    """One GRU step; returns (h_new, r, z, n, hn)."""
+    hh = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+    xr = ih_t[:, 0 * h_dim:1 * h_dim]
+    xz = ih_t[:, 1 * h_dim:2 * h_dim]
+    xn = ih_t[:, 2 * h_dim:3 * h_dim]
+    hr = hh[:, 0 * h_dim:1 * h_dim]
+    hz = hh[:, 1 * h_dim:2 * h_dim]
+    hn = hh[:, 2 * h_dim:3 * h_dim]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h, r, z, n, hn
+
+
+def _gru2_fwd_train_kernel(
+    ih0_hbm,   # (T_pad, B, 3H) ANY — hoisted layer-0 input projections
+    keep_hbm,  # (T_pad, B, H) ANY
+    w_hh0_ref,  # (H, 3H) VMEM
+    b_hh0_ref,  # (1, 3H) VMEM
+    w_ih1_ref,  # (H, 3H) VMEM
+    b_ih1_ref,  # (1, 3H) VMEM
+    w_hh1_ref,  # (H, 3H) VMEM
+    b_hh1_ref,  # (1, 3H) VMEM
+    res_hbm,    # (T_pad, B, 10H) ANY out — [r0|z0|n0|hn0|h0 | r1|z1|n1|hn1|h1]
+    hf_ref,     # (B, H) VMEM out
+    *,
+    t_len: int,
+    chunk: int,
+    tile_b: int,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = tile_b
+    h_dim = w_hh0_ref.shape[0]
+    g3 = 3 * h_dim
+    num_chunks = ih0_hbm.shape[0] // chunk
+    b0 = pl.program_id(0) * tile_b
+
+    def body(ih_buf, keep_buf, out_buf, in_sem, out_sem, state_buf):
+        # state_buf: (2, B, H) = h0, h1
+        state_buf[:] = jnp.zeros((2, batch, h_dim), jnp.float32)
+        w_hh0 = w_hh0_ref[:]
+        b_hh0 = b_hh0_ref[:]
+        w_ih1 = w_ih1_ref[:]
+        b_ih1 = b_ih1_ref[:]
+        w_hh1 = w_hh1_ref[:]
+        b_hh1 = b_hh1_ref[:]
+
+        def dma_in(slot, ci):
+            start = ci * chunk
+            return [
+                pltpu.make_async_copy(
+                    ih0_hbm.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
+                    ih_buf.at[slot], in_sem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    keep_hbm.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
+                    keep_buf.at[slot], in_sem.at[slot, 1],
+                ),
+            ]
+
+        def dma_out(slot, ci):
+            return pltpu.make_async_copy(
+                out_buf.at[slot],
+                res_hbm.at[pl.ds(ci * chunk, chunk), pl.ds(b0, tile_b)],
+                out_sem.at[slot],
+            )
+
+        for cpy in dma_in(0, 0):
+            cpy.start()
+
+        def chunk_body(ci, _):
+            slot = ci % 2
+
+            @pl.when(ci + 1 < num_chunks)
+            def _():
+                for cpy in dma_in((ci + 1) % 2, ci + 1):
+                    cpy.start()
+
+            for cpy in dma_in(slot, ci):
+                cpy.wait()
+
+            @pl.when(ci >= 2)
+            def _():
+                dma_out(slot, ci - 2).wait()
+
+            def step(s, _):
+                t = ci * chunk + s
+                h0 = state_buf[0]
+                h1 = state_buf[1]
+                h0n, r0, z0, n0, hn0 = _gru_step(
+                    h0, ih_buf[slot, s], w_hh0, b_hh0, h_dim)
+                x1 = h0n * keep_buf[slot, s]
+                ih1 = jnp.dot(x1, w_ih1,
+                              preferred_element_type=jnp.float32) + b_ih1
+                h1n, r1, z1, n1, hn1 = _gru_step(h1, ih1, w_hh1, b_hh1,
+                                                 h_dim)
+                valid = t < t_len
+                for j, val in enumerate((r0, z0, n0, hn0, h0n,
+                                         r1, z1, n1, hn1, h1n)):
+                    out_buf[slot, s, :, j * h_dim:(j + 1) * h_dim] = val
+                state_buf[0] = jnp.where(valid, h0n, h0)
+                state_buf[1] = jnp.where(valid, h1n, h1)
+                return 0
+
+            jax.lax.fori_loop(0, chunk, step, 0, unroll=1)
+            dma_out(slot, ci).start()
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+        @pl.when(num_chunks >= 2)
+        def _():
+            dma_out(num_chunks % 2, num_chunks - 2).wait()
+
+        dma_out((num_chunks - 1) % 2, num_chunks - 1).wait()
+        hf_ref[pl.ds(b0, tile_b)] = state_buf[1]
+
+    pl.run_scoped(
+        body,
+        ih_buf=pltpu.VMEM((2, chunk, batch, g3), jnp.float32),
+        keep_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        out_buf=pltpu.VMEM((2, chunk, batch, 10 * h_dim), jnp.float32),
+        in_sem=pltpu.SemaphoreType.DMA((2, 2)),
+        out_sem=pltpu.SemaphoreType.DMA((2,)),
+        state_buf=pltpu.VMEM((2, batch, h_dim), jnp.float32),
+    )
+
+
+def gru2_train_fwd_pallas(
+    x_tm: jnp.ndarray,    # (T, B, D)
+    keep_tm: jnp.ndarray,  # (T, B, H)
+    layer0: Dict[str, jnp.ndarray],  # w_ih (D,3H), w_hh (H,3H), b_ih, b_hh
+    layer1: Dict[str, jnp.ndarray],
+    chunk: int = 4,
+    interpret: bool = False,
+):
+    """Returns (ys, h_final, per-layer (r, z, n, hn, h_new) series)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_len, batch, _ = x_tm.shape
+    h_dim = layer0["w_hh"].shape[0]
+    g3 = 3 * h_dim
+
+    ih0 = (
+        x_tm.astype(jnp.float32) @ layer0["w_ih"].astype(jnp.float32)
+        + layer0["b_ih"].astype(jnp.float32)
+    )
+    t_pad = ((t_len + chunk - 1) // chunk) * chunk
+    pad = t_pad - t_len
+    keep = keep_tm.astype(jnp.float32)
+    if pad:
+        ih0 = jnp.pad(ih0, ((0, pad), (0, 0), (0, 0)))
+        keep = jnp.pad(keep, ((0, pad), (0, 0), (0, 0)))
+
+    tile_b = _pick_tile_b(batch)
+    kernel = functools.partial(_gru2_fwd_train_kernel, t_len=t_len,
+                               chunk=chunk, tile_b=tile_b)
+    res, h_final = pl.pallas_call(
+        kernel,
+        grid=(batch // tile_b,),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, batch, 10 * h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch, h_dim), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        ih0,
+        keep,
+        layer0["w_hh"].astype(jnp.float32),
+        layer0["b_hh"].astype(jnp.float32).reshape(1, -1),
+        layer1["w_ih"].astype(jnp.float32),
+        layer1["b_ih"].astype(jnp.float32).reshape(1, -1),
+        layer1["w_hh"].astype(jnp.float32),
+        layer1["b_hh"].astype(jnp.float32).reshape(1, -1),
+    )
+    res = res[:t_len]
+    layers = []
+    for l in range(2):
+        off = l * 5 * h_dim
+        layers.append(tuple(
+            res[:, :, off + j * h_dim:off + (j + 1) * h_dim]
+            for j in range(5)
+        ))  # (r, z, n, hn, h_new)
+    ys = layers[1][4]
+    return ys, h_final, layers
+
+
+def gru_fwd_kernel_supported(batch: int, t_len: int, h_dim: int,
+                             n_layers: int, chunk: int = 4,
+                             allow_large: bool = False) -> bool:
+    if batch > _AUTO_MAX_BATCH and not allow_large:
+        return False
+    tile = _pick_tile_b(batch)
+    if n_layers != 2 or batch % tile != 0 or tile < 8:
+        return False
+    vmem = (
+        2 * chunk * tile * (3 + 1 + 10) * h_dim * 4
+        + 3 * h_dim * 3 * h_dim * 4
+        + 2 * tile * h_dim * 4
+    )
+    return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and t_len >= 1

@@ -407,9 +407,57 @@ def fused_gru(x, keep, params: Tuple[dict, ...]):
     return jnp.swapaxes(ys, 0, 1), carry[-1]
 
 
+def _gru_fwd_kernel_ok(x_tm, params):
+    if _FWD_KERNEL_MODE == "off" or len(params) != 2:
+        return False, False
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        gru_fwd_kernel_supported,
+    )
+
+    t_len, batch = x_tm.shape[0], x_tm.shape[1]
+    h_dim = params[0]["w_hh"].shape[0]
+    interpret = _FWD_KERNEL_MODE == "interpret"
+    on_tpu = jax.default_backend() == "tpu"
+    ok = (on_tpu or interpret) and gru_fwd_kernel_supported(
+        batch, t_len, h_dim, len(params), allow_large=interpret
+    )
+    return ok, interpret
+
+
+def _gru_fwd_pallas(x_tm, keep_tm, params, interpret):
+    """Kernel forward; reconstructs the scan-path residual structure."""
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        gru2_train_fwd_pallas,
+    )
+
+    ys, h_final, layers = gru2_train_fwd_pallas(
+        x_tm, keep_tm[:, 0], params[0], params[1], interpret=interpret
+    )
+
+    def shift(a):
+        return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
+
+    t_len = x_tm.shape[0]
+    (r0, z0, n0, hn0, h0_new) = layers[0]
+    (r1, z1, n1, hn1, h1_new) = layers[1]
+    res = (
+        (shift(h0_new), r0, z0, n0, hn0, jnp.zeros((t_len, 0))),
+        (shift(h1_new), r1, z1, n1, hn1, h0_new * keep_tm[:, 0]),
+    )
+    carry = (h0_new[-1], h_final)
+    return carry, ys, res
+
+
 def _gru_vjp_fwd(x, keep, params):
     x_tm = jnp.swapaxes(x, 0, 1)
     keep_tm = _keep_tm(keep)
+    use_kernel, interpret = _gru_fwd_kernel_ok(x_tm, params)
+    if use_kernel:
+        carry, ys, res = _gru_fwd_pallas(x_tm, keep_tm, params, interpret)
+        dtype = x.dtype
+        out = (jnp.swapaxes(ys, 0, 1).astype(dtype),
+               carry[-1].astype(dtype))
+        return out, (x_tm, keep_tm, params, res, carry)
     carry, ys, res = _gru_fwd_scan(x_tm, keep_tm, params)
     return (jnp.swapaxes(ys, 0, 1), carry[-1]), (x_tm, keep_tm, params, res,
                                                  carry)

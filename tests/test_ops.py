@@ -557,3 +557,49 @@ def test_gru_bwd_chain_kernel_matches_xla_scan():
                      jax.tree_util.tree_leaves(g_kernel)):
         np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_gru_fwd_train_kernel_matches_scan():
+    """GRU in-kernel training forward == scan: primals AND full-VJP grads."""
+    from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
+        fused_gru,
+        set_bwd_kernel_mode,
+        set_fwd_kernel_mode,
+    )
+
+    b, t, d, h = 8, 21, 10, 128
+    ks = jax.random.split(jax.random.PRNGKey(6), 8)
+    x = jax.random.normal(ks[0], (b, t, d))
+    keep = (jax.random.uniform(ks[1], (b, t, 1, h)) > 0.25).astype(jnp.float32)
+    params = tuple(
+        {
+            "w_ih": 0.3 * jax.random.normal(ks[2 + 3 * l],
+                                            (d if l == 0 else h, 3 * h)),
+            "w_hh": 0.3 * jax.random.normal(ks[3 + 3 * l], (h, 3 * h)),
+            "b_ih": 0.1 * jax.random.normal(ks[4 + 3 * l], (3 * h,)),
+            "b_hh": jnp.full((3 * h,), 0.05),
+        }
+        for l in range(2)
+    )
+
+    def loss(x, keep, params):
+        ys, h_final = fused_gru(x, keep, params)
+        return jnp.sum(ys * jnp.sin(ys)) + jnp.sum(h_final ** 2)
+
+    vg = jax.value_and_grad(loss, argnums=(0, 1, 2))
+    prev_f, prev_b = set_fwd_kernel_mode("off"), set_bwd_kernel_mode("off")
+    try:
+        val_s, g_s = jax.jit(vg)(x, keep, params)
+    finally:
+        set_fwd_kernel_mode(prev_f), set_bwd_kernel_mode(prev_b)
+    prev_f = set_fwd_kernel_mode("interpret")
+    prev_b = set_bwd_kernel_mode("interpret")
+    try:
+        val_k, g_k = jax.jit(vg)(x, keep, params)
+    finally:
+        set_fwd_kernel_mode(prev_f), set_bwd_kernel_mode(prev_b)
+    np.testing.assert_allclose(float(val_k), float(val_s), rtol=1e-6)
+    for a, bb in zip(jax.tree_util.tree_leaves(g_s),
+                     jax.tree_util.tree_leaves(g_k)):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
