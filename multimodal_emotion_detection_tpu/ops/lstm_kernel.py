@@ -354,13 +354,14 @@ def lstm_bwd_chain_pallas(
     dh_series: jnp.ndarray,  # (T, B, H) per-step dh contributions
     dh_final: jnp.ndarray,  # (B, H)
     w_hh: jnp.ndarray,  # (H, 4H)
-    chunk: int = 8,
+    chunk: int = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """dgates series (T, B, 4H) of one LSTM layer, reverse chain in-kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    chunk = BWD_CHUNK if chunk is None else chunk
     t_len, batch, gates4 = g_series.shape
     h_dim = gates4 // 4
     t_pad = ((t_len + chunk - 1) // chunk) * chunk
@@ -415,10 +416,20 @@ def _pick_tile_b(batch: int) -> int:
 # for explicit use and future tuning.
 _AUTO_MAX_BATCH = 32
 
+# HBM-streaming chunk lengths.  Tuned on v5e at B=32/T=375/H=256: the
+# ISOLATED bwd chain prefers 16 (1.19 vs 1.65 ms, r2i_tpu.json) but the
+# FULL train step prefers 8 (11,162 vs 11,019 clips/s, r2j_tpu.json) —
+# overlap with the surrounding step changes the optimum, and full-step
+# evidence wins.  Module-level so benchmarks can A/B; read at trace time.
+BWD_CHUNK = 8
+FWD_CHUNK = 4
+
 
 def bwd_kernel_supported(batch: int, t_len: int, h_dim: int,
-                         chunk: int = 8, allow_large: bool = False) -> bool:
+                         chunk: int = None,
+                         allow_large: bool = False) -> bool:
     """VMEM feasibility + layout constraints for the backward kernel."""
+    chunk = BWD_CHUNK if chunk is None else chunk
     if batch > _AUTO_MAX_BATCH and not allow_large:
         return False
     tile = _pick_tile_b(batch)
@@ -579,7 +590,7 @@ def lstm2_train_fwd_pallas(
     keep_tm: jnp.ndarray,  # (T, B, H) inter-layer keep mask
     layer0: Dict[str, jnp.ndarray],
     layer1: Dict[str, jnp.ndarray],
-    chunk: int = 4,
+    chunk: int = None,
     interpret: bool = False,
 ):
     """2-layer LSTM forward with residual streaming.
@@ -591,6 +602,7 @@ def lstm2_train_fwd_pallas(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    chunk = FWD_CHUNK if chunk is None else chunk
     t_len, batch, _ = x_tm.shape
     h_dim = layer0["w_hh"].shape[0]
     g4 = 4 * h_dim
@@ -649,8 +661,9 @@ def lstm2_train_fwd_pallas(
 
 
 def fwd_kernel_supported(batch: int, t_len: int, h_dim: int,
-                         n_layers: int, chunk: int = 4,
+                         n_layers: int, chunk: int = None,
                          allow_large: bool = False) -> bool:
+    chunk = FWD_CHUNK if chunk is None else chunk
     if batch > _AUTO_MAX_BATCH and not allow_large:
         return False
     tile = _pick_tile_b(batch)
