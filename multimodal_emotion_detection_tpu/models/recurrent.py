@@ -29,6 +29,20 @@ dynamics are comparable.
 
 from __future__ import annotations
 
+# Trace-time switch for the Pallas inference kernel: callers that vmap a
+# deterministic forward (ensembles, vmapped sweeps) must disable it — the
+# manual-DMA kernel cannot lower under vmap on TPU (Mosaic requires
+# trivial index maps for ANY-space operands; benchmarks/r2k_tpu.json).
+_INFER_KERNEL_ENABLED = True
+
+
+def set_infer_kernel_enabled(on: bool) -> bool:
+    global _INFER_KERNEL_ENABLED
+    prev = _INFER_KERNEL_ENABLED
+    _INFER_KERNEL_ENABLED = bool(on)
+    return prev
+
+
 from typing import Tuple
 
 import jax
@@ -314,6 +328,7 @@ class FusedStackedRNN(nn.Module):
 
         if (
             self.inference_kernel
+            and _INFER_KERNEL_ENABLED
             and deterministic
             and self.cell_type == "lstm"
             and self.num_layers == 2

@@ -189,6 +189,44 @@ def vmapped_lr_sweep(
     (No per-member early stopping — members run the full epoch budget; the
     per-epoch val curve is returned so callers can pick each member's best.)
     """
+    # The manual-DMA recurrence kernels cannot lower under vmap on TPU
+    # (Mosaic requires trivial index maps for ANY-space operands —
+    # measured in benchmarks/r2k_tpu.json), and a k-member vmap multiplies
+    # the effective batch past the kernels' measured win region anyway
+    # (they lose to the XLA scans beyond batch 32, r2c_tpu.json), so the
+    # sweep always runs on the scan path.
+    from multimodal_emotion_detection_tpu.models.recurrent import (
+        set_infer_kernel_enabled,
+    )
+    from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
+        set_bwd_kernel_mode,
+        set_fwd_kernel_mode,
+    )
+
+    prev_f, prev_b = set_fwd_kernel_mode("off"), set_bwd_kernel_mode("off")
+    prev_i = set_infer_kernel_enabled(False)
+    try:
+        return _vmapped_lr_sweep(
+            model, train_loader, val_loader, lrs, epochs, modality_dropout,
+            clip_norm, weight_decay, seed,
+        )
+    finally:
+        set_fwd_kernel_mode(prev_f)
+        set_bwd_kernel_mode(prev_b)
+        set_infer_kernel_enabled(prev_i)
+
+
+def _vmapped_lr_sweep(
+    model,
+    train_loader,
+    val_loader,
+    lrs: Sequence[float],
+    epochs: int,
+    modality_dropout: float = 0.0,
+    clip_norm: float = 1.0,
+    weight_decay: float = 1e-4,
+    seed: int = 42,
+) -> List[Dict[str, float]]:
     feats, labels = train_loader.device_arrays()
     vfeats, vlabels = val_loader.device_arrays()
     m = train_loader.arrays.num_modalities
@@ -258,6 +296,39 @@ def train_ensemble(
     uncertainty.ensemble.ensemble_predict — the reference trains its
     EnsembleUncertainty members one at a time (uncertainty.py:419-468).
     """
+    # scan path only under vmap (see vmapped_lr_sweep's note)
+    from multimodal_emotion_detection_tpu.models.recurrent import (
+        set_infer_kernel_enabled,
+    )
+    from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
+        set_bwd_kernel_mode,
+        set_fwd_kernel_mode,
+    )
+
+    prev_f, prev_b = set_fwd_kernel_mode("off"), set_bwd_kernel_mode("off")
+    prev_i = set_infer_kernel_enabled(False)
+    try:
+        return _train_ensemble(
+            model, train_loader, n_members, epochs, learning_rate,
+            modality_dropout, clip_norm, weight_decay, seed,
+        )
+    finally:
+        set_fwd_kernel_mode(prev_f)
+        set_bwd_kernel_mode(prev_b)
+        set_infer_kernel_enabled(prev_i)
+
+
+def _train_ensemble(
+    model,
+    train_loader,
+    n_members: int,
+    epochs: int,
+    learning_rate: float = 1e-3,
+    modality_dropout: float = 0.0,
+    clip_norm: float = 1.0,
+    weight_decay: float = 1e-4,
+    seed: int = 42,
+):
     feats, labels = train_loader.device_arrays()
     m = train_loader.arrays.num_modalities
     b = train_loader.batch_size

@@ -45,7 +45,17 @@ def ensemble_predict(
 
         return jax.vmap(single)(params_stack, state_stack)  # (N, B, C)
 
-    probs = run(stacked_params, stacked_model_state)
+    # the manual-DMA inference kernel cannot lower under vmap on TPU
+    # (benchmarks/r2k_tpu.json); trace this forward on the scan path
+    from multimodal_emotion_detection_tpu.models.recurrent import (
+        set_infer_kernel_enabled,
+    )
+
+    prev = set_infer_kernel_enabled(False)
+    try:
+        probs = run(stacked_params, stacked_model_state)
+    finally:
+        set_infer_kernel_enabled(prev)
     mean_probs = probs.mean(axis=0)
     uncertainty = probs.var(axis=0).mean(axis=-1)
     return mean_probs, uncertainty
