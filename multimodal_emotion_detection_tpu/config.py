@@ -185,6 +185,11 @@ class ParallelConfig:
     model_parallel: int = 1
     # Minimum size a parameter dim must have to be sharded over 'model'.
     min_shard_dim: int = 256
+    # 'gspmd': one global program partitioned by XLA (supports DP x TP).
+    # 'shardmap_dp': per-device step bodies via shard_map + explicit psum
+    # (DP only, model_parallel must be 1) — local shapes let the Pallas
+    # recurrence kernels keep running under the mesh.
+    strategy: str = "gspmd"
 
 
 @dataclass

@@ -139,3 +139,140 @@ def make_sharded_train_step(
         return compiled[struct_key](state, features, labels, idx, valid, key)
 
     return sharded_step
+
+
+def make_shardmap_dp_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh,
+    num_modalities: int,
+    modality_dropout: float = 0.0,
+    has_batch_stats: bool = False,
+    donate: bool = True,
+) -> Callable:
+    """Data-parallel train step via ``shard_map`` (model axis must be 1).
+
+    The GSPMD path partitions one global program, which prevents the
+    manual-DMA Pallas recurrence kernels from lowering (they need local
+    shapes, not partitioned operands).  ``shard_map`` runs the step BODY
+    per device on its local batch shard — kernels lower per-core exactly
+    as on a single chip — and the only collectives are explicit ``psum``
+    of gradient/metric sums over 'data' (riding ICI).  Parameters and
+    optimizer state stay replicated: every device applies the identical
+    psum'd update.
+
+    Numerics match the single-device step exactly: per-device gradients
+    of the loss SUM are psum'd then divided by the global valid count —
+    the same mean-gradient the global masked-mean loss produces.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if mesh.shape.get("model", 1) != 1:
+        raise ValueError(
+            "shardmap_dp supports data parallelism only "
+            f"(model axis = {mesh.shape.get('model', 1)})"
+        )
+
+    def per_device(state: TrainState, features, labels, idx, valid, key):
+        batch = {m: jnp.take(a, idx, axis=0) for m, a in features.items()}
+        batch_labels = jnp.take(labels, idx, axis=0)
+        b = idx.shape[0]
+
+        # distinct per-shard randomness: fold in the device's axis index
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        step_key = jax.random.fold_in(key, state.step)
+        mask_key, dropout_key = jax.random.split(step_key)
+        mask = modality_dropout_mask(mask_key, b, num_modalities,
+                                     modality_dropout)
+        mask = mask * valid[:, None]
+
+        def loss_fn(params):
+            variables = {"params": params, **state.model_state}
+            if has_batch_stats:
+                logits, new_model_state = model.apply(
+                    variables, batch, mask,
+                    deterministic=False,
+                    rngs={"dropout": dropout_key},
+                    mutable=list(state.model_state.keys()),
+                )
+            else:
+                logits = model.apply(
+                    variables, batch, mask,
+                    deterministic=False,
+                    rngs={"dropout": dropout_key},
+                )
+                new_model_state = state.model_state
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch_labels
+            )
+            return (ce * valid).sum(), (logits, new_model_state)
+
+        (ce_sum, (logits, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        count = jnp.clip(jax.lax.psum(valid.sum(), "data"), min=1.0)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, "data") / count, grads
+        )
+        if has_batch_stats:
+            new_model_state = jax.tree_util.tree_map(
+                lambda s: jax.lax.pmean(s, "data"), new_model_state
+            )
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        preds = jnp.argmax(logits, axis=-1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        def gsum(x):
+            return jax.lax.psum(x, "data")
+
+        metrics: Dict[str, jnp.ndarray] = {
+            "loss": gsum(ce_sum) / count,
+            "acc": gsum(((preds == batch_labels) * valid).sum()) / count,
+            "confidence_mean": gsum(
+                (probs.max(axis=-1) * valid).sum()) / count,
+            "entropy": gsum((
+                -(probs * jnp.log(jnp.clip(probs, min=1e-12))).sum(axis=-1)
+                * valid
+            ).sum()) / count,
+            "count": gsum(valid.sum()),
+        }
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                model_state=new_model_state,
+                opt_state=new_opt_state,
+            ),
+            metrics,
+        )
+
+    compiled = {}
+
+    def sharded_step(state, features, labels, idx, valid, key):
+        struct_key = tuple(sorted(features.keys()))
+        if struct_key not in compiled:
+            mapped = shard_map(
+                per_device,
+                mesh=mesh,
+                in_specs=(
+                    P(),                      # state: replicated
+                    {m: P() for m in features},  # full split: replicated
+                    P(),                      # labels
+                    P("data"),                # idx: per-device shard
+                    P("data"),                # valid
+                    P(),                      # key
+                ),
+                out_specs=(P(), P()),
+                check_rep=False,
+            )
+            compiled[struct_key] = jax.jit(
+                mapped, donate_argnums=(0,) if donate else ()
+            )
+        return compiled[struct_key](state, features, labels, idx, valid, key)
+
+    return sharded_step

@@ -85,14 +85,19 @@ class Trainer:
         n_devices = len(jax.devices())
         use_mesh = n_devices > 1 or cfg.parallel.model_parallel > 1
 
+        strategy = getattr(cfg.parallel, "strategy", "gspmd")
         kernels = getattr(cfg.runtime, "lstm_kernels", "auto")
-        if kernels == "auto" and use_mesh:
-            # GSPMD partitioning of the manual-DMA recurrence kernels is
-            # not yet validated on multi-chip hardware (single chip in
-            # this environment); under a mesh the XLA scans are the safe
-            # default.  'force' opts in regardless.
+        if kernels == "auto" and use_mesh and strategy != "shardmap_dp":
+            # GSPMD partitions one global program, which the manual-DMA
+            # recurrence kernels cannot lower under (ANY-space operands
+            # need trivial index maps — benchmarks/r2k_tpu.json); the
+            # shard_map strategy runs per-device bodies with local shapes,
+            # so kernels stay available there.  'force' opts in regardless.
             kernels = "off"
         if kernels in ("auto", "off", "force"):
+            from multimodal_emotion_detection_tpu.models.recurrent import (
+                set_infer_kernel_enabled,
+            )
             from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
                 set_bwd_kernel_mode,
                 set_fwd_kernel_mode,
@@ -101,6 +106,11 @@ class Trainer:
             mode = "auto" if kernels == "force" else kernels
             set_fwd_kernel_mode(mode)
             set_bwd_kernel_mode(mode)
+            # the GSPMD-partitioned EVAL forward has the same lowering
+            # constraint for the inference kernel
+            set_infer_kernel_enabled(
+                not (use_mesh and strategy != "shardmap_dp")
+            )
         steps_per_epoch = len(train_loader)
         tx, schedule = build_optimizer(cfg.training, steps_per_epoch)
         self._schedule = schedule
@@ -144,14 +154,31 @@ class Trainer:
             )
             self._batch_sharding = batch_sharding(self._mesh)
             self._replicated = replicated(self._mesh)
-            self._train_step = make_sharded_train_step(
-                self.model, tx, self._mesh, self.state,
-                num_modalities=train_loader.arrays.num_modalities,
-                modality_dropout=cfg.training.augmentation.modality_dropout,
-                has_batch_stats=has_bn,
-                min_shard_dim=cfg.parallel.min_shard_dim,
-                donate=cfg.runtime.donate_state,
-            )
+            if strategy == "shardmap_dp":
+                from multimodal_emotion_detection_tpu.parallel.train import (
+                    make_shardmap_dp_train_step,
+                )
+
+                self._train_step = make_shardmap_dp_train_step(
+                    self.model, tx, self._mesh,
+                    num_modalities=train_loader.arrays.num_modalities,
+                    modality_dropout=(
+                        cfg.training.augmentation.modality_dropout
+                    ),
+                    has_batch_stats=has_bn,
+                    donate=cfg.runtime.donate_state,
+                )
+            else:
+                self._train_step = make_sharded_train_step(
+                    self.model, tx, self._mesh, self.state,
+                    num_modalities=train_loader.arrays.num_modalities,
+                    modality_dropout=(
+                        cfg.training.augmentation.modality_dropout
+                    ),
+                    has_batch_stats=has_bn,
+                    min_shard_dim=cfg.parallel.min_shard_dim,
+                    donate=cfg.runtime.donate_state,
+                )
         else:
             self._mesh = None
             self._train_step = make_train_step(
