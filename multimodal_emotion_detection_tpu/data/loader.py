@@ -116,8 +116,9 @@ class MultimodalLoader:
         num_batches = len(self)
         total = num_batches * self.batch_size
         if total > n:
-            pad = order[: total - n]
-            order = np.concatenate([order, pad])
+            # cyclic wrap (handles splits smaller than one batch too);
+            # epoch_batch_valid() zeroes positions >= n either way
+            order = np.resize(order, total)
         else:
             order = order[:total]
         return order.reshape(num_batches, self.batch_size).astype(np.int32)

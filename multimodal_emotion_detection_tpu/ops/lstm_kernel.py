@@ -1091,3 +1091,233 @@ def gru_fwd_kernel_supported(batch: int, t_len: int, h_dim: int,
         + 2 * tile * h_dim * 4
     )
     return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and t_len >= 1
+
+
+# ---------------------------------------------------------------------------
+# Fused 2-layer LSTM training backward: BOTH layers' reverse chains in ONE
+# pass over time.  The per-layer chains (lstm_bwd_chain_pallas, top-down)
+# walk T twice; here the inter-layer hop dx1 = dgates1 @ w_ih1^T happens
+# in-register inside the step, so the serial length is T, not 2T, and the
+# (T, B, H) dx1/dh0 intermediate never touches HBM.
+# ---------------------------------------------------------------------------
+
+BWD2_CHUNK = 4
+
+
+def _lstm2_bwd_kernel(
+    g0_hbm,    # (T_pad, B, 4H) ANY — layer-0 gate pre-activations
+    g1_hbm,    # (T_pad, B, 4H) ANY — layer-1 gate pre-activations
+    cp0_hbm,   # (T_pad, B, H) ANY — layer-0 c_prev series
+    cp1_hbm,   # (T_pad, B, H) ANY — layer-1 c_prev series
+    dys_hbm,   # (T_pad, B, H) ANY — per-step dh contributions (layer 1)
+    keep_hbm,  # (T_pad, B, H) ANY — inter-layer dropout keep mask
+    dhf_ref,     # (B, H) VMEM — gradient wrt the final hidden (layer 1)
+    w_hh1_t_ref,  # (4H, H) VMEM
+    w_ih1_t_ref,  # (4H, H) VMEM
+    w_hh0_t_ref,  # (4H, H) VMEM
+    dg_hbm,    # (T_pad, B, 8H) ANY out — packed [dgates0 | dgates1]
+    *,
+    t_len: int,
+    chunk: int,
+    tile_b: int,
+):
+    """Reverse chains of BOTH layers, one serial walk over time.
+
+    Per step: two `_cell_bwd` VPU blocks + THREE (B,4H)x(4H,H) matmuls
+    (dh1 carry, the inter-layer dx1 hop, dh0 carry).  Six input series
+    stream from HBM double-buffered; the packed dgates chunk streams back
+    out (lane offsets multiples of 4H — legal Mosaic slices).  Padded
+    steps (t >= t_len, processed FIRST in reverse) pass carries through.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = tile_b
+    h_dim = dhf_ref.shape[1]
+    g4 = 4 * h_dim
+    num_chunks = g0_hbm.shape[0] // chunk
+    b0 = pl.program_id(0) * tile_b
+
+    def body(g0_buf, g1_buf, cp0_buf, cp1_buf, dys_buf, keep_buf,
+             out_buf, in_sem, out_sem, state_buf):
+        # state_buf: (4, tile_b, H) = dh1, dc1, dh0, dc0
+        state_buf[0] = dhf_ref[pl.ds(b0, tile_b)]
+        state_buf[1] = jnp.zeros((batch, h_dim), jnp.float32)
+        state_buf[2] = jnp.zeros((batch, h_dim), jnp.float32)
+        state_buf[3] = jnp.zeros((batch, h_dim), jnp.float32)
+        w_hh1_t = w_hh1_t_ref[:]
+        w_ih1_t = w_ih1_t_ref[:]
+        w_hh0_t = w_hh0_t_ref[:]
+
+        def dma_in(slot, ci):
+            start = ci * chunk
+            srcs = (g0_hbm, g1_hbm, cp0_hbm, cp1_hbm, dys_hbm, keep_hbm)
+            bufs = (g0_buf, g1_buf, cp0_buf, cp1_buf, dys_buf, keep_buf)
+            return [
+                pltpu.make_async_copy(
+                    src.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
+                    buf.at[slot], in_sem.at[slot, i],
+                )
+                for i, (src, buf) in enumerate(zip(srcs, bufs))
+            ]
+
+        def dma_out(slot, ci):
+            return pltpu.make_async_copy(
+                out_buf.at[slot],
+                dg_hbm.at[pl.ds(ci * chunk, chunk), pl.ds(b0, tile_b)],
+                out_sem.at[slot],
+            )
+
+        for cpy in dma_in(0, num_chunks - 1):
+            cpy.start()
+
+        def chunk_body(k, _):
+            ci = num_chunks - 1 - k
+            slot = k % 2
+
+            @pl.when(ci - 1 >= 0)
+            def _():
+                for cpy in dma_in((k + 1) % 2, ci - 1):
+                    cpy.start()
+
+            for cpy in dma_in(slot, ci):
+                cpy.wait()
+
+            @pl.when(k >= 2)
+            def _():
+                dma_out(slot, ci + 2).wait()
+
+            def step(s_fwd, _):
+                s = chunk - 1 - s_fwd
+                t = ci * chunk + s
+                dh1_t = state_buf[0] + dys_buf[slot, s]
+                dgates1, dc1_prev = _cell_bwd(
+                    g1_buf[slot, s], cp1_buf[slot, s], dh1_t, state_buf[1],
+                    h_dim,
+                )
+                dh1_prev = jnp.dot(
+                    dgates1, w_hh1_t, preferred_element_type=jnp.float32
+                )
+                dx1 = jnp.dot(
+                    dgates1, w_ih1_t, preferred_element_type=jnp.float32
+                )
+                dh0_t = state_buf[2] + dx1 * keep_buf[slot, s]
+                dgates0, dc0_prev = _cell_bwd(
+                    g0_buf[slot, s], cp0_buf[slot, s], dh0_t, state_buf[3],
+                    h_dim,
+                )
+                dh0_prev = jnp.dot(
+                    dgates0, w_hh0_t, preferred_element_type=jnp.float32
+                )
+                valid = t < t_len
+                out_buf[slot, s, :, 0:g4] = jnp.where(valid, dgates0, 0.0)
+                out_buf[slot, s, :, g4:2 * g4] = jnp.where(valid, dgates1, 0.0)
+                state_buf[0] = jnp.where(valid, dh1_prev, state_buf[0])
+                state_buf[1] = jnp.where(valid, dc1_prev, state_buf[1])
+                state_buf[2] = jnp.where(valid, dh0_prev, state_buf[2])
+                state_buf[3] = jnp.where(valid, dc0_prev, state_buf[3])
+                return 0
+
+            jax.lax.fori_loop(0, chunk, step, 0, unroll=1)
+            dma_out(slot, ci).start()
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+        @pl.when(num_chunks >= 2)
+        def _():
+            dma_out(num_chunks % 2, 1).wait()
+
+        dma_out((num_chunks - 1) % 2, 0).wait()
+
+    pl.run_scoped(
+        body,
+        g0_buf=pltpu.VMEM((2, chunk, batch, g4), jnp.float32),
+        g1_buf=pltpu.VMEM((2, chunk, batch, g4), jnp.float32),
+        cp0_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        cp1_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        dys_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        keep_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        out_buf=pltpu.VMEM((2, chunk, batch, 2 * g4), jnp.float32),
+        in_sem=pltpu.SemaphoreType.DMA((2, 6)),
+        out_sem=pltpu.SemaphoreType.DMA((2,)),
+        state_buf=pltpu.VMEM((4, batch, h_dim), jnp.float32),
+    )
+
+
+def lstm2_bwd_chain_pallas(
+    g0_series: jnp.ndarray,   # (T, B, 4H)
+    g1_series: jnp.ndarray,   # (T, B, 4H)
+    cp0_series: jnp.ndarray,  # (T, B, H)
+    cp1_series: jnp.ndarray,  # (T, B, H)
+    dys: jnp.ndarray,         # (T, B, H) incoming dh contributions (layer 1)
+    keep: jnp.ndarray,        # (T, B, H) inter-layer keep mask
+    dh_final: jnp.ndarray,    # (B, H)
+    w_hh0: jnp.ndarray,       # (H, 4H)
+    w_hh1: jnp.ndarray,       # (H, 4H)
+    w_ih1: jnp.ndarray,       # (H, 4H)
+    chunk: int = None,
+    interpret: bool = False,
+):
+    """Both layers' dgates series from ONE in-kernel reverse walk.
+
+    Returns ``(dgates0, dgates1)``, each (T, B, 4H) — exactly what the
+    hoisted weight-gradient contractions (ops/lstm_vjp.py) consume.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    chunk = BWD2_CHUNK if chunk is None else chunk
+    t_len, batch, gates4 = g0_series.shape
+    h_dim = gates4 // 4
+    t_pad = ((t_len + chunk - 1) // chunk) * chunk
+    pad = t_pad - t_len
+
+    def padt(a):
+        return jnp.pad(a, ((0, pad), (0, 0), (0, 0))) if pad else a
+
+    f32 = jnp.float32
+    tile_b = _pick_tile_b(batch)
+    kernel = functools.partial(_lstm2_bwd_kernel, t_len=t_len, chunk=chunk,
+                               tile_b=tile_b)
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch // tile_b,),
+        out_shape=jax.ShapeDtypeStruct((t_pad, batch, 2 * gates4), f32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        interpret=interpret,
+    )(
+        padt(g0_series.astype(f32)),
+        padt(g1_series.astype(f32)),
+        padt(cp0_series.astype(f32)),
+        padt(cp1_series.astype(f32)),
+        padt(dys.astype(f32)),
+        padt(keep.astype(f32)),
+        dh_final.astype(f32),
+        w_hh1.astype(f32).T,
+        w_ih1.astype(f32).T,
+        w_hh0.astype(f32).T,
+    )
+    out = out[:t_len]
+    return out[:, :, :gates4], out[:, :, gates4:]
+
+
+def bwd2_kernel_supported(batch: int, t_len: int, h_dim: int,
+                          chunk: int = None,
+                          allow_large: bool = False) -> bool:
+    """VMEM feasibility + layout constraints for the fused backward."""
+    chunk = BWD2_CHUNK if chunk is None else chunk
+    if batch > _AUTO_MAX_BATCH and not allow_large:
+        return False
+    tile = _pick_tile_b(batch)
+    if batch % tile != 0 or tile < 8:
+        return False
+    g4 = 4 * h_dim
+    vmem = (
+        2 * chunk * tile * (2 * g4 + 4 * h_dim + 2 * g4) * 4  # streams
+        + 3 * g4 * h_dim * 4  # w_hh1^T, w_ih1^T, w_hh0^T
+        + 4 * tile * h_dim * 4  # carry state
+    )
+    return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and t_len >= 1

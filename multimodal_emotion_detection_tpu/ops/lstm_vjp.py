@@ -197,10 +197,32 @@ def _bwd_layered_pallas(res, keep_tm, params, dys, dh_final, interpret):
     return tuple(dgates_series)
 
 
+def _bwd_fused2_pallas(res, keep_tm, params, dys, dh_final, interpret):
+    """Both layers' reverse chains in ONE kernel walk (2-layer case).
+
+    The inter-layer hop (dgates1 @ w_ih1^T) * keep happens in-register per
+    step instead of as a between-kernel matmul, halving the serial length
+    vs the layered path and keeping the (T, B, H) hop series out of HBM.
+    """
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        lstm2_bwd_chain_pallas,
+    )
+
+    g0_s, _, cp0_s, _ = res[0]
+    g1_s, _, cp1_s, _ = res[1]
+    dg0, dg1 = lstm2_bwd_chain_pallas(
+        g0_s, g1_s, cp0_s, cp1_s, dys, keep_tm[:, 0], dh_final,
+        params[0]["w_hh"], params[1]["w_hh"], params[1]["w_ih"],
+        interpret=interpret,
+    )
+    return (dg0, dg1)
+
+
 def _bwd_dgates(res, keep_tm, params, dys, dh_final):
-    """Dispatch between the Pallas in-kernel chain and the XLA scan."""
+    """Dispatch: fused 2-layer kernel > per-layer kernels > XLA scan."""
     if _BWD_KERNEL_MODE != "off":
         from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+            bwd2_kernel_supported,
             bwd_kernel_supported,
         )
 
@@ -208,6 +230,13 @@ def _bwd_dgates(res, keep_tm, params, dys, dh_final):
         h_dim = params[0]["w_hh"].shape[0]
         on_tpu = jax.default_backend() == "tpu"
         interpret = _BWD_KERNEL_MODE == "interpret"
+        if (on_tpu or interpret) and len(params) == 2 and (
+            bwd2_kernel_supported(batch, t_len, h_dim,
+                                  allow_large=interpret)
+        ):
+            return _bwd_fused2_pallas(
+                res, keep_tm, params, dys, dh_final, interpret
+            )
         if (on_tpu or interpret) and bwd_kernel_supported(
             batch, t_len, h_dim, allow_large=interpret
         ):

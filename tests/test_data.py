@@ -125,3 +125,21 @@ def test_device_arrays_cached():
     f1, l1 = loader.device_arrays()
     f2, l2 = loader.device_arrays()
     assert f1["a"] is f2["a"] and l1 is l2  # transferred exactly once
+
+
+def test_loader_split_smaller_than_half_batch():
+    """Splits smaller than batch_size/2 wrap cyclically (regression: the
+    old concat-pad under-filled when total - n > n and reshape crashed)."""
+    from multimodal_emotion_detection_tpu.data.loader import MultimodalLoader
+    from multimodal_emotion_detection_tpu.data.synthetic import synthetic_arrays
+
+    arrays = synthetic_arrays(12, 4, {"m": 6}, 5, "val", 0)
+    loader = MultimodalLoader(arrays, batch_size=32, shuffle=False)
+    idx = loader.epoch_batch_indices(0)
+    assert idx.shape == (1, 32)
+    np.testing.assert_array_equal(idx[0], np.resize(np.arange(12), 32))
+    valid = loader.epoch_batch_valid()
+    assert valid.shape == (1, 32)
+    assert valid[0, :12].all() and not valid[0, 12:].any()
+    batches = list(loader)
+    assert len(batches) == 1

@@ -603,3 +603,81 @@ def test_gru_fwd_train_kernel_matches_scan():
                      jax.tree_util.tree_leaves(g_k)):
         np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_lstm2_fused_bwd_kernel_matches_layered_chains():
+    """Fused 2-layer reverse kernel == two per-layer chains + XLA hop.
+
+    Random residual series (not tied to any forward): the fused kernel's
+    in-register inter-layer hop must reproduce the layered composition
+    dgates1 -> dx1 = dgates1 @ w_ih1^T -> keep-masked dh0 contributions
+    exactly, including reverse-order padding (T % chunk != 0).
+    """
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        lstm2_bwd_chain_pallas,
+        lstm_bwd_chain_pallas,
+    )
+
+    b, t, h = 8, 21, 128
+    ks = jax.random.split(jax.random.PRNGKey(7), 10)
+    g0 = jax.random.normal(ks[0], (t, b, 4 * h))
+    g1 = jax.random.normal(ks[1], (t, b, 4 * h))
+    cp0 = jax.random.normal(ks[2], (t, b, h))
+    cp1 = jax.random.normal(ks[3], (t, b, h))
+    dys = 0.1 * jax.random.normal(ks[4], (t, b, h))
+    keep = (jax.random.uniform(ks[5], (t, b, h)) > 0.3).astype(jnp.float32)
+    dhf = jax.random.normal(ks[6], (b, h))
+    w_hh0 = 0.3 * jax.random.normal(ks[7], (h, 4 * h))
+    w_hh1 = 0.3 * jax.random.normal(ks[8], (h, 4 * h))
+    w_ih1 = 0.3 * jax.random.normal(ks[9], (h, 4 * h))
+
+    dg0_f, dg1_f = jax.jit(
+        lambda *a: lstm2_bwd_chain_pallas(*a, interpret=True)
+    )(g0, g1, cp0, cp1, dys, keep, dhf, w_hh0, w_hh1, w_ih1)
+
+    dg1_l = lstm_bwd_chain_pallas(g1, cp1, dys, dhf, w_hh1, interpret=True)
+    dx1 = (dg1_l.reshape(-1, 4 * h) @ w_ih1.T).reshape(t, b, h)
+    zeros_hf = jnp.zeros((b, h), dys.dtype)
+    dg0_l = lstm_bwd_chain_pallas(g0, cp0, dx1 * keep, zeros_hf, w_hh0,
+                                  interpret=True)
+
+    np.testing.assert_allclose(np.asarray(dg1_f), np.asarray(dg1_l),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dg0_f), np.asarray(dg0_l),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lstm_bwd_kernel_single_layer_uses_layered_path():
+    """1-layer fused_lstm: dispatch falls to the per-layer kernel (the
+    fused kernel is 2-layer-only) and still matches the XLA scan."""
+    from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
+        fused_lstm,
+        set_bwd_kernel_mode,
+    )
+
+    b, t, d, h = 8, 19, 10, 128
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    x = jax.random.normal(ks[0], (b, t, d))
+    keep = jnp.zeros((b, t, 0, h), jnp.float32)
+    params = ({
+        "w_ih": 0.3 * jax.random.normal(ks[1], (d, 4 * h)),
+        "w_hh": 0.3 * jax.random.normal(ks[2], (h, 4 * h)),
+        "b": jnp.full((4 * h,), 0.05),
+    },)
+
+    def loss(x):
+        ys, h_final = fused_lstm(x, keep, params)
+        return jnp.sum(ys * jnp.sin(ys)) + jnp.sum(h_final ** 2)
+
+    prev = set_bwd_kernel_mode("off")
+    try:
+        g_scan = jax.jit(jax.grad(loss))(x)
+    finally:
+        set_bwd_kernel_mode(prev)
+    prev = set_bwd_kernel_mode("interpret")
+    try:
+        g_kernel = jax.jit(jax.grad(loss))(x)
+    finally:
+        set_bwd_kernel_mode(prev)
+    np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_scan),
+                               rtol=2e-5, atol=2e-5)
