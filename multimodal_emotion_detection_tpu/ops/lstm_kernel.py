@@ -424,6 +424,14 @@ _AUTO_MAX_BATCH = 32
 BWD_CHUNK = 8
 FWD_CHUNK = 4
 
+# Full chunk-loop unroll for the TRAINING kernels (the inference kernel
+# already defaults to it: 0.706 vs 0.833 ms rolled).  On-chip A/B
+# (benchmarks/r2o_tpu.json): fwd unroll 1.60 -> 1.53 ms isolated and
+# +0.6% full step; bwd unroll measured slightly SLOWER (1.59 -> 1.62) —
+# the reverse step's three matmuls already fill the issue pipeline.
+FWD_TRAIN_UNROLL = True
+BWD2_UNROLL = False
+
 
 def bwd_kernel_supported(batch: int, t_len: int, h_dim: int,
                          chunk: int = None,
@@ -466,6 +474,7 @@ def _lstm2_fwd_train_kernel(
     t_len: int,
     chunk: int,
     tile_b: int,
+    full_unroll: bool,
 ):
     """Forward recurrence in one Pallas program, residuals streamed to HBM.
 
@@ -560,7 +569,9 @@ def _lstm2_fwd_train_kernel(
                 state_buf[3] = jnp.where(valid, c1n, c1)
                 return 0
 
-            jax.lax.fori_loop(0, chunk, step, 0, unroll=1)
+            # Mosaic supports only unroll=1 or full unroll inside kernels
+            jax.lax.fori_loop(0, chunk, step, 0,
+                              unroll=chunk if full_unroll else 1)
             dma_out(slot, ci).start()
             return 0
 
@@ -592,6 +603,7 @@ def lstm2_train_fwd_pallas(
     layer1: Dict[str, jnp.ndarray],
     chunk: int = None,
     interpret: bool = False,
+    full_unroll: bool = None,
 ):
     """2-layer LSTM forward with residual streaming.
 
@@ -603,6 +615,7 @@ def lstm2_train_fwd_pallas(
     from jax.experimental.pallas import tpu as pltpu
 
     chunk = FWD_CHUNK if chunk is None else chunk
+    full_unroll = FWD_TRAIN_UNROLL if full_unroll is None else full_unroll
     t_len, batch, _ = x_tm.shape
     h_dim = layer0["w_hh"].shape[0]
     g4 = 4 * h_dim
@@ -620,7 +633,8 @@ def lstm2_train_fwd_pallas(
 
     tile_b = _pick_tile_b(batch)
     kernel = functools.partial(_lstm2_fwd_train_kernel, t_len=t_len,
-                               chunk=chunk, tile_b=tile_b)
+                               chunk=chunk, tile_b=tile_b,
+                               full_unroll=full_unroll)
     res, h_final = pl.pallas_call(
         kernel,
         grid=(batch // tile_b,),
@@ -1120,6 +1134,7 @@ def _lstm2_bwd_kernel(
     t_len: int,
     chunk: int,
     tile_b: int,
+    full_unroll: bool,
 ):
     """Reverse chains of BOTH layers, one serial walk over time.
 
@@ -1218,7 +1233,9 @@ def _lstm2_bwd_kernel(
                 state_buf[3] = jnp.where(valid, dc0_prev, state_buf[3])
                 return 0
 
-            jax.lax.fori_loop(0, chunk, step, 0, unroll=1)
+            # Mosaic supports only unroll=1 or full unroll inside kernels
+            jax.lax.fori_loop(0, chunk, step, 0,
+                              unroll=chunk if full_unroll else 1)
             dma_out(slot, ci).start()
             return 0
 
@@ -1258,6 +1275,7 @@ def lstm2_bwd_chain_pallas(
     w_ih1: jnp.ndarray,       # (H, 4H)
     chunk: int = None,
     interpret: bool = False,
+    full_unroll: bool = None,
 ):
     """Both layers' dgates series from ONE in-kernel reverse walk.
 
@@ -1268,6 +1286,7 @@ def lstm2_bwd_chain_pallas(
     from jax.experimental.pallas import tpu as pltpu
 
     chunk = BWD2_CHUNK if chunk is None else chunk
+    full_unroll = BWD2_UNROLL if full_unroll is None else full_unroll
     t_len, batch, gates4 = g0_series.shape
     h_dim = gates4 // 4
     t_pad = ((t_len + chunk - 1) // chunk) * chunk
@@ -1279,7 +1298,7 @@ def lstm2_bwd_chain_pallas(
     f32 = jnp.float32
     tile_b = _pick_tile_b(batch)
     kernel = functools.partial(_lstm2_bwd_kernel, t_len=t_len, chunk=chunk,
-                               tile_b=tile_b)
+                               tile_b=tile_b, full_unroll=full_unroll)
     out = pl.pallas_call(
         kernel,
         grid=(batch // tile_b,),
