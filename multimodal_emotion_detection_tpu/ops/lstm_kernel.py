@@ -1340,3 +1340,229 @@ def bwd2_kernel_supported(batch: int, t_len: int, h_dim: int,
         + 4 * tile * h_dim * 4  # carry state
     )
     return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and t_len >= 1
+
+
+# ---------------------------------------------------------------------------
+# Fused 2-layer GRU training backward: both layers' reverse chains in ONE
+# pass over time (see the LSTM twin above for the design rationale).
+# ---------------------------------------------------------------------------
+
+GRU_BWD2_CHUNK = 4
+
+# Unlike the LSTM twin (+9.9% full step, r2n_tpu.json), the fused GRU
+# reverse kernel measured SLOWER than the per-layer chains in the full
+# GRU train step at every chunk (10.0-10.6k vs 11.9k clips/s,
+# r2p_tpu.json) — the GRU cell's extra elementwise chains make the
+# in-kernel dx1 hop serialize worse than the layered path's hoisted
+# one-shot matmul.  Kept available (parity exact on chip) but off by
+# default; flip for re-tuning on other geometries.
+GRU_BWD2_ENABLED = False
+
+
+def _gru2_bwd_kernel(
+    res0_hbm,  # (T_pad, B, 5H) ANY — layer-0 packed [h_prev|r|z|n|hn]
+    res1_hbm,  # (T_pad, B, 5H) ANY — layer-1 packed
+    dys_hbm,   # (T_pad, B, H) ANY — per-step dh contributions (layer 1)
+    keep_hbm,  # (T_pad, B, H) ANY — inter-layer dropout keep mask
+    dhf_ref,      # (B, H) VMEM
+    w_hh1_t_ref,  # (3H, H) VMEM
+    w_ih1_t_ref,  # (3H, H) VMEM
+    w_hh0_t_ref,  # (3H, H) VMEM
+    dg_hbm,    # (T_pad, B, 12H) ANY out — packed [dih0|dhh0|dih1|dhh1]
+    *,
+    t_len: int,
+    chunk: int,
+    tile_b: int,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = tile_b
+    h_dim = dhf_ref.shape[1]
+    g3 = 3 * h_dim
+    num_chunks = res0_hbm.shape[0] // chunk
+    b0 = pl.program_id(0) * tile_b
+
+    def unpack(res_t):
+        return (
+            res_t[:, 0 * h_dim:1 * h_dim],
+            res_t[:, 1 * h_dim:2 * h_dim],
+            res_t[:, 2 * h_dim:3 * h_dim],
+            res_t[:, 3 * h_dim:4 * h_dim],
+            res_t[:, 4 * h_dim:5 * h_dim],
+        )
+
+    def body(res0_buf, res1_buf, dys_buf, keep_buf, out_buf,
+             in_sem, out_sem, state_buf):
+        # state_buf: (2, tile_b, H) = dh1_carry, dh0_carry
+        state_buf[0] = dhf_ref[pl.ds(b0, tile_b)]
+        state_buf[1] = jnp.zeros((batch, h_dim), jnp.float32)
+        w_hh1_t = w_hh1_t_ref[:]
+        w_ih1_t = w_ih1_t_ref[:]
+        w_hh0_t = w_hh0_t_ref[:]
+
+        def dma_in(slot, ci):
+            start = ci * chunk
+            srcs = (res0_hbm, res1_hbm, dys_hbm, keep_hbm)
+            bufs = (res0_buf, res1_buf, dys_buf, keep_buf)
+            return [
+                pltpu.make_async_copy(
+                    src.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
+                    buf.at[slot], in_sem.at[slot, i],
+                )
+                for i, (src, buf) in enumerate(zip(srcs, bufs))
+            ]
+
+        def dma_out(slot, ci):
+            return pltpu.make_async_copy(
+                out_buf.at[slot],
+                dg_hbm.at[pl.ds(ci * chunk, chunk), pl.ds(b0, tile_b)],
+                out_sem.at[slot],
+            )
+
+        for cpy in dma_in(0, num_chunks - 1):
+            cpy.start()
+
+        def chunk_body(k, _):
+            ci = num_chunks - 1 - k
+            slot = k % 2
+
+            @pl.when(ci - 1 >= 0)
+            def _():
+                for cpy in dma_in((k + 1) % 2, ci - 1):
+                    cpy.start()
+
+            for cpy in dma_in(slot, ci):
+                cpy.wait()
+
+            @pl.when(k >= 2)
+            def _():
+                dma_out(slot, ci + 2).wait()
+
+            def step(s_fwd, _):
+                s = chunk - 1 - s_fwd
+                t = ci * chunk + s
+                h1p, r1, z1, n1, hn1 = unpack(res1_buf[slot, s])
+                dh1_t = state_buf[0] + dys_buf[slot, s]
+                dih1, dhh1, dh1_dir = _gru_cell_bwd_k(dh1_t, h1p, r1, z1,
+                                                      n1, hn1)
+                dh1_prev = dh1_dir + jnp.dot(
+                    dhh1, w_hh1_t, preferred_element_type=jnp.float32
+                )
+                dx1 = jnp.dot(
+                    dih1, w_ih1_t, preferred_element_type=jnp.float32
+                )
+                h0p, r0, z0, n0, hn0 = unpack(res0_buf[slot, s])
+                dh0_t = state_buf[1] + dx1 * keep_buf[slot, s]
+                dih0, dhh0, dh0_dir = _gru_cell_bwd_k(dh0_t, h0p, r0, z0,
+                                                      n0, hn0)
+                dh0_prev = dh0_dir + jnp.dot(
+                    dhh0, w_hh0_t, preferred_element_type=jnp.float32
+                )
+                valid = t < t_len
+                out_buf[slot, s, :, 0:g3] = jnp.where(valid, dih0, 0.0)
+                out_buf[slot, s, :, g3:2 * g3] = jnp.where(valid, dhh0, 0.0)
+                out_buf[slot, s, :, 2 * g3:3 * g3] = jnp.where(valid, dih1,
+                                                               0.0)
+                out_buf[slot, s, :, 3 * g3:4 * g3] = jnp.where(valid, dhh1,
+                                                               0.0)
+                state_buf[0] = jnp.where(valid, dh1_prev, state_buf[0])
+                state_buf[1] = jnp.where(valid, dh0_prev, state_buf[1])
+                return 0
+
+            jax.lax.fori_loop(0, chunk, step, 0, unroll=1)
+            dma_out(slot, ci).start()
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+        @pl.when(num_chunks >= 2)
+        def _():
+            dma_out(num_chunks % 2, 1).wait()
+
+        dma_out((num_chunks - 1) % 2, 0).wait()
+
+    pl.run_scoped(
+        body,
+        res0_buf=pltpu.VMEM((2, chunk, batch, 5 * h_dim), jnp.float32),
+        res1_buf=pltpu.VMEM((2, chunk, batch, 5 * h_dim), jnp.float32),
+        dys_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        keep_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        out_buf=pltpu.VMEM((2, chunk, batch, 4 * g3), jnp.float32),
+        in_sem=pltpu.SemaphoreType.DMA((2, 4)),
+        out_sem=pltpu.SemaphoreType.DMA((2,)),
+        state_buf=pltpu.VMEM((2, batch, h_dim), jnp.float32),
+    )
+
+
+def gru2_bwd_chain_pallas(
+    res0,  # 5-tuple of (T, B, H): h_prev, r, z, n, hn — layer 0
+    res1,  # 5-tuple — layer 1
+    dys: jnp.ndarray,       # (T, B, H)
+    keep: jnp.ndarray,      # (T, B, H)
+    dh_final: jnp.ndarray,  # (B, H)
+    w_hh0: jnp.ndarray,     # (H, 3H)
+    w_hh1: jnp.ndarray,     # (H, 3H)
+    w_ih1: jnp.ndarray,     # (H, 3H)
+    chunk: int = None,
+    interpret: bool = False,
+):
+    """((dih0, dhh0), (dih1, dhh1)) from ONE in-kernel reverse walk."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    chunk = GRU_BWD2_CHUNK if chunk is None else chunk
+    t_len, batch, h_dim = res0[0].shape
+    g3 = 3 * h_dim
+    t_pad = ((t_len + chunk - 1) // chunk) * chunk
+    pad = t_pad - t_len
+
+    def padt(a):
+        return jnp.pad(a, ((0, pad), (0, 0), (0, 0))) if pad else a
+
+    f32 = jnp.float32
+    packed0 = padt(jnp.concatenate(res0, axis=-1).astype(f32))
+    packed1 = padt(jnp.concatenate(res1, axis=-1).astype(f32))
+    tile_b = _pick_tile_b(batch)
+    kernel = functools.partial(_gru2_bwd_kernel, t_len=t_len, chunk=chunk,
+                               tile_b=tile_b)
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch // tile_b,),
+        out_shape=jax.ShapeDtypeStruct((t_pad, batch, 4 * g3), f32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        interpret=interpret,
+    )(
+        packed0,
+        packed1,
+        padt(dys.astype(f32)),
+        padt(keep.astype(f32)),
+        dh_final.astype(f32),
+        w_hh1.astype(f32).T,
+        w_ih1.astype(f32).T,
+        w_hh0.astype(f32).T,
+    )
+    out = out[:t_len]
+    return (
+        (out[:, :, 0:g3], out[:, :, g3:2 * g3]),
+        (out[:, :, 2 * g3:3 * g3], out[:, :, 3 * g3:4 * g3]),
+    )
+
+
+def gru2_bwd_kernel_supported(batch: int, t_len: int, h_dim: int,
+                              chunk: int = None,
+                              allow_large: bool = False) -> bool:
+    chunk = GRU_BWD2_CHUNK if chunk is None else chunk
+    if batch > _AUTO_MAX_BATCH and not allow_large:
+        return False
+    tile = _pick_tile_b(batch)
+    if batch % tile != 0 or tile < 8:
+        return False
+    vmem = (
+        2 * chunk * tile * (5 + 5 + 1 + 1 + 12) * h_dim * 4  # streams
+        + 3 * 3 * h_dim * h_dim * 4  # three (3H, H) weights
+        + 2 * tile * h_dim * 4
+    )
+    return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and t_len >= 1

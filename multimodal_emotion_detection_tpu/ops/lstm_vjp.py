@@ -522,10 +522,27 @@ def _gru_bwd_layered_pallas(res, keep_tm, params, dys, dh_final, interpret):
     return tuple(dih_series), tuple(dhh_series)
 
 
-def _gru_bwd_kernel_ok(dys, params):
-    if _BWD_KERNEL_MODE == "off":
-        return False, False
+def _gru_bwd_fused2_pallas(res, keep_tm, params, dys, dh_final, interpret):
+    """Both GRU layers' reverse chains in ONE kernel walk (2-layer case)."""
     from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        gru2_bwd_chain_pallas,
+    )
+
+    (d0, d1) = gru2_bwd_chain_pallas(
+        res[0][:5], res[1][:5], dys, keep_tm[:, 0], dh_final,
+        params[0]["w_hh"], params[1]["w_hh"], params[1]["w_ih"],
+        interpret=interpret,
+    )
+    return (d0[0], d1[0]), (d0[1], d1[1])
+
+
+def _gru_bwd_kernel_ok(dys, params):
+    """Returns (fused2_ok, layered_ok, interpret)."""
+    if _BWD_KERNEL_MODE == "off":
+        return False, False, False
+    from multimodal_emotion_detection_tpu.ops import lstm_kernel as _lk
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        gru2_bwd_kernel_supported,
         gru_bwd_kernel_supported,
     )
 
@@ -533,10 +550,18 @@ def _gru_bwd_kernel_ok(dys, params):
     h_dim = params[0]["w_hh"].shape[0]
     interpret = _BWD_KERNEL_MODE == "interpret"
     on_tpu = jax.default_backend() == "tpu"
-    ok = (on_tpu or interpret) and gru_bwd_kernel_supported(
+    # fused-GRU measured slower than layered on chip (r2p_tpu.json); the
+    # interpret path still exercises it so parity stays tested
+    fused2 = (
+        (interpret or (on_tpu and _lk.GRU_BWD2_ENABLED))
+        and len(params) == 2
+        and gru2_bwd_kernel_supported(batch, t_len, h_dim,
+                                      allow_large=interpret)
+    )
+    layered = (on_tpu or interpret) and gru_bwd_kernel_supported(
         batch, t_len, h_dim, allow_large=interpret
     )
-    return ok, interpret
+    return fused2, layered, interpret
 
 
 def _gru_vjp_bwd(saved, grads):
@@ -575,8 +600,12 @@ def _gru_vjp_bwd(saved, grads):
         dh_final if layer == n_layers - 1 else zeros
         for layer in range(n_layers)
     )
-    use_kernel, interpret = _gru_bwd_kernel_ok(dys, params)
-    if use_kernel:
+    fused2_ok, layered_ok, interpret = _gru_bwd_kernel_ok(dys, params)
+    if fused2_ok:
+        dih_series, dhh_series = _gru_bwd_fused2_pallas(
+            res, keep_tm, params, dys, dh_final, interpret
+        )
+    elif layered_ok:
         dih_series, dhh_series = _gru_bwd_layered_pallas(
             res, keep_tm, params, dys, dh_final, interpret
         )

@@ -681,3 +681,47 @@ def test_lstm_bwd_kernel_single_layer_uses_layered_path():
         set_bwd_kernel_mode(prev)
     np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_scan),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_gru2_fused_bwd_kernel_matches_layered_chains():
+    """Fused 2-layer GRU reverse kernel == per-layer chains + XLA hop."""
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        gru2_bwd_chain_pallas,
+        gru_bwd_chain_pallas,
+    )
+
+    b, t, h = 8, 21, 128
+    ks = jax.random.split(jax.random.PRNGKey(13), 16)
+    def series(i):
+        return jax.random.normal(ks[i], (t, b, h))
+    res0 = (series(0), jax.nn.sigmoid(series(1)), jax.nn.sigmoid(series(2)),
+            jnp.tanh(series(3)), series(4))
+    res1 = (series(5), jax.nn.sigmoid(series(6)), jax.nn.sigmoid(series(7)),
+            jnp.tanh(series(8)), series(9))
+    dys = 0.1 * series(10)
+    keep = (jax.random.uniform(ks[11], (t, b, h)) > 0.3).astype(jnp.float32)
+    dhf = jax.random.normal(ks[12], (b, h))
+    w_hh0 = 0.3 * jax.random.normal(ks[13], (h, 3 * h))
+    w_hh1 = 0.3 * jax.random.normal(ks[14], (h, 3 * h))
+    w_ih1 = 0.3 * jax.random.normal(ks[15], (h, 3 * h))
+
+    (dih0_f, dhh0_f), (dih1_f, dhh1_f) = jax.jit(
+        lambda *a: gru2_bwd_chain_pallas(*a, interpret=True)
+    )(res0, res1, dys, keep, dhf, w_hh0, w_hh1, w_ih1)
+
+    dih1_l, dhh1_l = gru_bwd_chain_pallas(*res1, dys, dhf, w_hh1,
+                                          interpret=True)
+    dx1 = (dih1_l.reshape(-1, 3 * h) @ w_ih1.T).reshape(t, b, h)
+    dih0_l, dhh0_l = gru_bwd_chain_pallas(
+        *res0, dx1 * keep, jnp.zeros((b, h)), w_hh0, interpret=True)
+
+    # tolerance note: these are RAW random series (not a real forward's
+    # residuals), so the 21-step reverse chain amplifies fp32 matmul
+    # rounding; fused and layered differ only in contraction shapes.
+    # The tight-tolerance check lives in the full-VJP tests
+    # (test_gru_bwd_chain_kernel_matches_xla_scan routes through the
+    # fused kernel and passes at 2e-5 with real residuals).
+    for got, want in ((dih0_f, dih0_l), (dhh0_f, dhh0_l),
+                      (dih1_f, dih1_l), (dhh1_f, dhh1_l)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=4e-3, atol=4e-3)
