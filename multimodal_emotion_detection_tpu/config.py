@@ -204,6 +204,10 @@ class RuntimeConfig:
     # Pallas in-kernel LSTM recurrence for training fwd/bwd:
     # 'auto' (on TPU when the shape qualifies) | 'off' (XLA scans)
     lstm_kernels: str = "auto"
+    # Checkpoint serialization: 'auto' (orbax under a multi-device mesh —
+    # sharding-preserving, restore-reshard capable — msgpack otherwise) |
+    # 'msgpack' | 'orbax'
+    checkpoint_backend: str = "auto"
 
 
 @dataclass

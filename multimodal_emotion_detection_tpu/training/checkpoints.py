@@ -61,19 +61,45 @@ def _orbax_save(path: Path, state: Any) -> None:
 
 
 def _orbax_restore(path: Path, target: Any) -> Any:
+    """Restore an orbax checkpoint, RE-SHARDING onto the target's layout.
+
+    When the target tree's leaves are committed ``jax.Array``s (e.g. a
+    TrainState placed by ``parallel.shard_state`` on the CURRENT mesh),
+    restore args carry each leaf's NamedSharding, so a state saved from a
+    ``{'data': 4, 'model': 2}`` mesh restores directly onto, say,
+    ``{'data': 2, 'model': 4}`` without ever materializing the full tree
+    on one host — the production path for states larger than host RAM.
+    """
     import orbax.checkpoint as ocp
 
+    def restore_args(leaf):
+        if isinstance(leaf, jax.Array) and hasattr(leaf, "sharding"):
+            return ocp.ArrayRestoreArgs(sharding=leaf.sharding,
+                                        global_shape=leaf.shape,
+                                        dtype=leaf.dtype)
+        return ocp.RestoreArgs()
+
+    args = jax.tree_util.tree_map(restore_args, target)
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path.resolve(), item=target)
+        restored = ckptr.restore(
+            path.resolve(),
+            args=ocp.args.PyTreeRestore(
+                item=target, restore_args=args
+            ),
+        )
     return restored
 
 
 class CheckpointManager:
-    def __init__(self, dirpath: Path, save_top_k: int = 1, mode: str = "min"):
+    def __init__(self, dirpath: Path, save_top_k: int = 1, mode: str = "min",
+                 backend: str = "msgpack"):
         self.dirpath = Path(dirpath)
         self.dirpath.mkdir(parents=True, exist_ok=True)
         self.save_top_k = save_top_k
         self.mode = mode
+        # 'msgpack' (single-file, host-gathered) or 'orbax' (directory,
+        # sharding-preserving — the mesh default, see Trainer._build)
+        self.backend = backend
         # (metric, path) of currently-kept top-k checkpoints
         self._kept: List[Tuple[float, Path]] = []
         self.best_model_path: Optional[Path] = None
@@ -112,7 +138,8 @@ class CheckpointManager:
             "val_loss": float(monitor_value),
         }
         # save_last=True parity
-        save_checkpoint(self.dirpath / "last.ckpt", state, meta)
+        save_checkpoint(self.dirpath / "last.ckpt", state, meta,
+                        backend=self.backend)
 
         if self.save_top_k == 0:
             return
@@ -128,12 +155,15 @@ class CheckpointManager:
             return
         fname = f"epoch={epoch}-val_loss={monitor_value:.4f}.ckpt"
         path = self.dirpath / fname
-        save_checkpoint(path, state, meta)
+        save_checkpoint(path, state, meta, backend=self.backend)
         self._kept.append((float(monitor_value), path))
         self._kept.sort(key=lambda kv: kv[0], reverse=(self.mode != "min"))
         while len(self._kept) > self.save_top_k:
             _, drop = self._kept.pop()
-            drop.unlink(missing_ok=True)
+            if drop.is_dir():  # orbax checkpoints are directories
+                shutil.rmtree(drop, ignore_errors=True)
+            else:
+                drop.unlink(missing_ok=True)
             drop.with_suffix(drop.suffix + ".json").unlink(missing_ok=True)
         if self._is_better(monitor_value, self.best_model_score):
             self.best_model_score = float(monitor_value)
@@ -141,7 +171,12 @@ class CheckpointManager:
 
     def copy_best(self, target: Path) -> Optional[Path]:
         if self.best_model_path and self.best_model_path.exists():
-            shutil.copy(str(self.best_model_path), str(target))
+            if self.best_model_path.is_dir():  # orbax directory checkpoint
+                if Path(target).exists():
+                    shutil.rmtree(target, ignore_errors=True)
+                shutil.copytree(str(self.best_model_path), str(target))
+            else:
+                shutil.copy(str(self.best_model_path), str(target))
             shutil.copy(
                 str(self.best_model_path) + ".json", str(target) + ".json"
             )

@@ -61,6 +61,11 @@ class Trainer:
         self.checkpoints = CheckpointManager(
             self.save_dir / "checkpoints",
             save_top_k=config.experiment.save_top_k,
+            backend=(
+                config.runtime.checkpoint_backend
+                if config.runtime.checkpoint_backend != "auto"
+                else "msgpack"  # _build switches to orbax under a mesh
+            ),
         )
         self.early_stopping = EarlyStopping(
             patience=config.training.early_stopping_patience
@@ -154,6 +159,16 @@ class Trainer:
             )
             self._batch_sharding = batch_sharding(self._mesh)
             self._replicated = replicated(self._mesh)
+            # 'auto' switches to orbax (sharding-preserving, no host
+            # gather) only when gathering is IMPOSSIBLE — multi-process
+            # meshes.  Single-process multi-device keeps msgpack files so
+            # the reference's artifact contract (best.ckpt file, sweep
+            # harvest, tools/predict) holds; orbax stays one config flip
+            # away (runtime.checkpoint_backend=orbax) and restore-reshard
+            # is tested either way.
+            if (cfg.runtime.checkpoint_backend == "auto"
+                    and jax.process_count() > 1):
+                self.checkpoints.backend = "orbax"
             if strategy == "shardmap_dp":
                 from multimodal_emotion_detection_tpu.parallel.train import (
                     make_shardmap_dp_train_step,
