@@ -240,7 +240,16 @@ class SequenceEncoder(nn.Module):
                     unroll=self.scan_unroll,
                     name="rnn",
                 )
-            outputs, h_last = rnn(x, deterministic=deterministic)
+            if use_fused:
+                # lengths=None consumes only the final hidden state; the
+                # fused module then routes the LSTM through the dys-free
+                # backward (no zero-cotangent stream)
+                outputs, h_last = rnn(
+                    x, deterministic=deterministic,
+                    need_sequence=lengths is not None,
+                )
+            else:
+                outputs, h_last = rnn(x, deterministic=deterministic)
             if lengths is not None:
                 idx = jnp.clip(lengths.astype(jnp.int32) - 1, 0, x.shape[1] - 1)
                 h_last = jnp.take_along_axis(

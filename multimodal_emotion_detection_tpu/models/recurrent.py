@@ -303,7 +303,8 @@ class FusedStackedRNN(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, deterministic: bool = True
+        self, x: jnp.ndarray, deterministic: bool = True,
+        need_sequence: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         batch, t_len, in_dim = x.shape
         h_dim = self.hidden_dim
@@ -386,6 +387,16 @@ class FusedStackedRNN(nn.Module):
                 ).astype(dtype) / (1.0 - self.dropout)
             else:
                 keep_bt = jnp.ones((batch, t_len, n_drop, h_dim), dtype)
+            if not need_sequence and self.cell_type == "lstm":
+                # sequence cotangent is structurally zero: the dys-free
+                # backward (ops/lstm_vjp.fused_lstm_final) skips streaming
+                # it; same None sentinel as the inference-kernel path
+                from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
+                    fused_lstm_final,
+                )
+
+                h_final = fused_lstm_final(x, keep_bt, tuple(layers))
+                return None, h_final
             fn = fused_lstm if self.cell_type == "lstm" else fused_gru
             ys, h_final = fn(x, keep_bt, tuple(layers))
             return ys, h_final

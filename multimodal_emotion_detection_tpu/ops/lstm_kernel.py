@@ -1119,33 +1119,36 @@ BWD2_CHUNK = 4
 
 
 def _lstm2_bwd_kernel(
-    g0_hbm,    # (T_pad, B, 4H) ANY — layer-0 gate pre-activations
-    g1_hbm,    # (T_pad, B, 4H) ANY — layer-1 gate pre-activations
-    cp0_hbm,   # (T_pad, B, H) ANY — layer-0 c_prev series
-    cp1_hbm,   # (T_pad, B, H) ANY — layer-1 c_prev series
-    dys_hbm,   # (T_pad, B, H) ANY — per-step dh contributions (layer 1)
-    keep_hbm,  # (T_pad, B, H) ANY — inter-layer dropout keep mask
-    dhf_ref,     # (B, H) VMEM — gradient wrt the final hidden (layer 1)
-    w_hh1_t_ref,  # (4H, H) VMEM
-    w_ih1_t_ref,  # (4H, H) VMEM
-    w_hh0_t_ref,  # (4H, H) VMEM
-    dg_hbm,    # (T_pad, B, 8H) ANY out — packed [dgates0 | dgates1]
-    *,
+    *refs,
     t_len: int,
     chunk: int,
     tile_b: int,
     full_unroll: bool,
+    has_dys: bool,
 ):
     """Reverse chains of BOTH layers, one serial walk over time.
 
     Per step: two `_cell_bwd` VPU blocks + THREE (B,4H)x(4H,H) matmuls
-    (dh1 carry, the inter-layer dx1 hop, dh0 carry).  Six input series
-    stream from HBM double-buffered; the packed dgates chunk streams back
-    out (lane offsets multiples of 4H — legal Mosaic slices).  Padded
-    steps (t >= t_len, processed FIRST in reverse) pass carries through.
+    (dh1 carry, the inter-layer dx1 hop, dh0 carry).  Input series stream
+    from HBM double-buffered; the packed dgates chunk streams back out
+    (lane offsets multiples of 4H — legal Mosaic slices).  Padded steps
+    (t >= t_len, processed FIRST in reverse) pass carries through.
+
+    ``has_dys=False`` drops the per-step dh-contribution stream entirely
+    — the final-hidden-only encoder path (SequenceEncoder with
+    lengths=None), where the ys cotangent is structurally zero and would
+    otherwise be materialized and streamed as 12 MB of zeros per step.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if has_dys:
+        (g0_hbm, g1_hbm, cp0_hbm, cp1_hbm, dys_hbm, keep_hbm, dhf_ref,
+         w_hh1_t_ref, w_ih1_t_ref, w_hh0_t_ref, dg_hbm) = refs
+    else:
+        (g0_hbm, g1_hbm, cp0_hbm, cp1_hbm, keep_hbm, dhf_ref,
+         w_hh1_t_ref, w_ih1_t_ref, w_hh0_t_ref, dg_hbm) = refs
+        dys_hbm = None
 
     batch = tile_b
     h_dim = dhf_ref.shape[1]
@@ -1153,8 +1156,8 @@ def _lstm2_bwd_kernel(
     num_chunks = g0_hbm.shape[0] // chunk
     b0 = pl.program_id(0) * tile_b
 
-    def body(g0_buf, g1_buf, cp0_buf, cp1_buf, dys_buf, keep_buf,
-             out_buf, in_sem, out_sem, state_buf):
+    def body(g0_buf, g1_buf, cp0_buf, cp1_buf, keep_buf,
+             out_buf, in_sem, out_sem, state_buf, dys_buf=None):
         # state_buf: (4, tile_b, H) = dh1, dc1, dh0, dc0
         state_buf[0] = dhf_ref[pl.ds(b0, tile_b)]
         state_buf[1] = jnp.zeros((batch, h_dim), jnp.float32)
@@ -1166,8 +1169,11 @@ def _lstm2_bwd_kernel(
 
         def dma_in(slot, ci):
             start = ci * chunk
-            srcs = (g0_hbm, g1_hbm, cp0_hbm, cp1_hbm, dys_hbm, keep_hbm)
-            bufs = (g0_buf, g1_buf, cp0_buf, cp1_buf, dys_buf, keep_buf)
+            srcs = [g0_hbm, g1_hbm, cp0_hbm, cp1_hbm, keep_hbm]
+            bufs = [g0_buf, g1_buf, cp0_buf, cp1_buf, keep_buf]
+            if has_dys:
+                srcs.append(dys_hbm)
+                bufs.append(dys_buf)
             return [
                 pltpu.make_async_copy(
                     src.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
@@ -1205,7 +1211,9 @@ def _lstm2_bwd_kernel(
             def step(s_fwd, _):
                 s = chunk - 1 - s_fwd
                 t = ci * chunk + s
-                dh1_t = state_buf[0] + dys_buf[slot, s]
+                dh1_t = state_buf[0]
+                if has_dys:
+                    dh1_t = dh1_t + dys_buf[slot, s]
                 dgates1, dc1_prev = _cell_bwd(
                     g1_buf[slot, s], cp1_buf[slot, s], dh1_t, state_buf[1],
                     h_dim,
@@ -1247,19 +1255,21 @@ def _lstm2_bwd_kernel(
 
         dma_out((num_chunks - 1) % 2, 0).wait()
 
-    pl.run_scoped(
-        body,
+    scratch = dict(
         g0_buf=pltpu.VMEM((2, chunk, batch, g4), jnp.float32),
         g1_buf=pltpu.VMEM((2, chunk, batch, g4), jnp.float32),
         cp0_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
         cp1_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
-        dys_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
         keep_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
         out_buf=pltpu.VMEM((2, chunk, batch, 2 * g4), jnp.float32),
-        in_sem=pltpu.SemaphoreType.DMA((2, 6)),
+        in_sem=pltpu.SemaphoreType.DMA((2, 6 if has_dys else 5)),
         out_sem=pltpu.SemaphoreType.DMA((2,)),
         state_buf=pltpu.VMEM((4, batch, h_dim), jnp.float32),
     )
+    if has_dys:
+        scratch["dys_buf"] = pltpu.VMEM((2, chunk, batch, h_dim),
+                                        jnp.float32)
+    pl.run_scoped(body, **scratch)
 
 
 def lstm2_bwd_chain_pallas(
@@ -1267,7 +1277,7 @@ def lstm2_bwd_chain_pallas(
     g1_series: jnp.ndarray,   # (T, B, 4H)
     cp0_series: jnp.ndarray,  # (T, B, H)
     cp1_series: jnp.ndarray,  # (T, B, H)
-    dys: jnp.ndarray,         # (T, B, H) incoming dh contributions (layer 1)
+    dys,                      # (T, B, H) dh contributions, or None (zero)
     keep: jnp.ndarray,        # (T, B, H) inter-layer keep mask
     dh_final: jnp.ndarray,    # (B, H)
     w_hh0: jnp.ndarray,       # (H, 4H)
@@ -1281,6 +1291,8 @@ def lstm2_bwd_chain_pallas(
 
     Returns ``(dgates0, dgates1)``, each (T, B, 4H) — exactly what the
     hoisted weight-gradient contractions (ops/lstm_vjp.py) consume.
+    ``dys=None`` means the sequence output carried no gradient (the
+    final-hidden-only encoder path): the stream is omitted, not zeroed.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1297,28 +1309,34 @@ def lstm2_bwd_chain_pallas(
 
     f32 = jnp.float32
     tile_b = _pick_tile_b(batch)
+    has_dys = dys is not None
     kernel = functools.partial(_lstm2_bwd_kernel, t_len=t_len, chunk=chunk,
-                               tile_b=tile_b, full_unroll=full_unroll)
-    out = pl.pallas_call(
-        kernel,
-        grid=(batch // tile_b,),
-        out_shape=jax.ShapeDtypeStruct((t_pad, batch, 2 * gates4), f32),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        interpret=interpret,
-    )(
+                               tile_b=tile_b, full_unroll=full_unroll,
+                               has_dys=has_dys)
+    operands = [
         padt(g0_series.astype(f32)),
         padt(g1_series.astype(f32)),
         padt(cp0_series.astype(f32)),
         padt(cp1_series.astype(f32)),
-        padt(dys.astype(f32)),
+    ]
+    if has_dys:
+        operands.append(padt(dys.astype(f32)))
+    operands += [
         padt(keep.astype(f32)),
         dh_final.astype(f32),
         w_hh1.astype(f32).T,
         w_ih1.astype(f32).T,
         w_hh0.astype(f32).T,
-    )
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch // tile_b,),
+        out_shape=jax.ShapeDtypeStruct((t_pad, batch, 2 * gates4), f32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (6 if has_dys else 5)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        interpret=interpret,
+    )(*operands)
     out = out[:t_len]
     return out[:, :, :gates4], out[:, :, gates4:]
 

@@ -203,6 +203,7 @@ def _bwd_fused2_pallas(res, keep_tm, params, dys, dh_final, interpret):
     The inter-layer hop (dgates1 @ w_ih1^T) * keep happens in-register per
     step instead of as a between-kernel matmul, halving the serial length
     vs the layered path and keeping the (T, B, H) hop series out of HBM.
+    ``dys=None`` (final-hidden-only path) omits the stream in-kernel.
     """
     from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
         lstm2_bwd_chain_pallas,
@@ -219,15 +220,20 @@ def _bwd_fused2_pallas(res, keep_tm, params, dys, dh_final, interpret):
 
 
 def _bwd_dgates(res, keep_tm, params, dys, dh_final):
-    """Dispatch: fused 2-layer kernel > per-layer kernels > XLA scan."""
+    """Dispatch: fused 2-layer kernel > per-layer kernels > XLA scan.
+
+    ``dys`` may be None (structurally-zero sequence cotangent); only the
+    fused kernel exploits it — fallbacks materialize the zeros.
+    """
+    g0_s = res[0][0]
+    t_len, batch = g0_s.shape[0], g0_s.shape[1]
+    h_dim = params[0]["w_hh"].shape[0]
     if _BWD_KERNEL_MODE != "off":
         from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
             bwd2_kernel_supported,
             bwd_kernel_supported,
         )
 
-        t_len, batch = dys.shape[0], dys.shape[1]
-        h_dim = params[0]["w_hh"].shape[0]
         on_tpu = jax.default_backend() == "tpu"
         interpret = _BWD_KERNEL_MODE == "interpret"
         if (on_tpu or interpret) and len(params) == 2 and (
@@ -237,12 +243,16 @@ def _bwd_dgates(res, keep_tm, params, dys, dh_final):
             return _bwd_fused2_pallas(
                 res, keep_tm, params, dys, dh_final, interpret
             )
+        if dys is None:
+            dys = jnp.zeros((t_len, batch, h_dim), dh_final.dtype)
         if (on_tpu or interpret) and bwd_kernel_supported(
             batch, t_len, h_dim, allow_large=interpret
         ):
             return _bwd_layered_pallas(
                 res, keep_tm, params, dys, dh_final, interpret
             )
+    if dys is None:
+        dys = jnp.zeros((t_len, batch, h_dim), dh_final.dtype)
     return _bwd_scan(res, keep_tm, params, dys, dh_final)
 
 
@@ -315,9 +325,13 @@ def _fused_fwd(x, keep, params):
 
 
 def _fused_bwd(saved, grads):
-    x_tm, keep_tm, params, res, carry = saved
     dys_bt, dh_final = grads
-    dys = jnp.swapaxes(dys_bt, 0, 1)  # (T, B, H)
+    return _fused_bwd_impl(saved, jnp.swapaxes(dys_bt, 0, 1), dh_final)
+
+
+def _fused_bwd_impl(saved, dys, dh_final):
+    """Shared backward; ``dys`` is time-major (T, B, H) or None (zero)."""
+    x_tm, keep_tm, params, res, carry = saved
     n_layers = len(params)
 
     dgates_series = _bwd_dgates(res, keep_tm, params, dys, dh_final)
@@ -361,6 +375,32 @@ def _fused_bwd(saved, grads):
 
 
 fused_lstm.defvjp(_fused_fwd, _fused_bwd)
+
+
+@jax.custom_vjp
+def fused_lstm_final(x, keep, params: Tuple[dict, ...]):
+    """Like fused_lstm but returns ONLY h_final (B, H).
+
+    The final-hidden-only encoder path (SequenceEncoder, lengths=None):
+    the sequence output's cotangent is structurally zero here, so the
+    backward omits the (T, B, H) dh-contribution stream entirely instead
+    of materializing and streaming ~12 MB of zeros per step.
+    """
+    x_tm = jnp.swapaxes(x, 0, 1)
+    carry, _, _ = _fwd_scan(x_tm, _keep_tm(keep), params)
+    return carry[-1][0]
+
+
+def _fused_final_fwd(x, keep, params):
+    (ys, h_final), saved = _fused_fwd(x, keep, params)
+    return h_final, saved
+
+
+def _fused_final_bwd(saved, dh_final):
+    return _fused_bwd_impl(saved, None, dh_final)
+
+
+fused_lstm_final.defvjp(_fused_final_fwd, _fused_final_bwd)
 
 
 def fused_lstm2(x, keep2, p0, p1):

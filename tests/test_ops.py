@@ -725,3 +725,53 @@ def test_gru2_fused_bwd_kernel_matches_layered_chains():
                       (dih1_f, dih1_l), (dhh1_f, dhh1_l)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=4e-3, atol=4e-3)
+
+
+def test_fused_lstm_final_matches_full_vjp():
+    """fused_lstm_final (dys-free backward) == grad through fused_lstm
+    using only h_final, on BOTH the kernel (interpret) and scan paths."""
+    from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
+        fused_lstm,
+        fused_lstm_final,
+        set_bwd_kernel_mode,
+        set_fwd_kernel_mode,
+    )
+
+    b, t, d, h = 8, 21, 12, 128
+    ks = jax.random.split(jax.random.PRNGKey(3), 8)
+    x = jax.random.normal(ks[0], (b, t, d))
+    keep = (jax.random.uniform(ks[1], (b, t, 1, h)) > 0.3).astype(jnp.float32)
+    params = tuple(
+        {
+            "w_ih": 0.3 * jax.random.normal(ks[2 + 3 * l],
+                                            (d if l == 0 else h, 4 * h)),
+            "w_hh": 0.3 * jax.random.normal(ks[3 + 3 * l], (h, 4 * h)),
+            "b": 0.1 * jax.random.normal(ks[4 + 3 * l], (4 * h,)),
+        }
+        for l in range(2)
+    )
+
+    def loss_full(x, keep, params):
+        _, h_final = fused_lstm(x, keep, params)
+        return jnp.sum(h_final * jnp.sin(h_final))
+
+    def loss_final(x, keep, params):
+        h_final = fused_lstm_final(x, keep, params)
+        return jnp.sum(h_final * jnp.sin(h_final))
+
+    for mode in ("off", "interpret"):
+        prev_f, prev_b = set_fwd_kernel_mode(mode), set_bwd_kernel_mode(mode)
+        try:
+            v1, g1 = jax.jit(jax.value_and_grad(loss_full, argnums=(0, 2)))(
+                x, keep, params)
+            v2, g2 = jax.jit(jax.value_and_grad(loss_final, argnums=(0, 2)))(
+                x, keep, params)
+        finally:
+            set_fwd_kernel_mode(prev_f)
+            set_bwd_kernel_mode(prev_b)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        for a, b_ in zip(jax.tree_util.tree_leaves(g1),
+                         jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       rtol=2e-5, atol=2e-5,
+                                       err_msg=f"mode={mode}")
