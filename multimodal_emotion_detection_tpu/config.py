@@ -190,6 +190,11 @@ class ParallelConfig:
     # (DP only, model_parallel must be 1) — local shapes let the Pallas
     # recurrence kernels keep running under the mesh.
     strategy: str = "gspmd"
+    # Shard the TRAIN split's rows over 'data' (parallel/data.py): each
+    # device holds + gathers only its own block — datasets larger than
+    # one host's RAM/HBM.  shardmap_dp only (a GSPMD gather would
+    # all-gather the operand).  Per-shard shuffle semantics.
+    shard_data_rows: bool = False
 
 
 @dataclass

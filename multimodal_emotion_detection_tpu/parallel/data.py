@@ -1,0 +1,133 @@
+"""Row-sharded device-resident splits: data loading that scales past one
+host's RAM/HBM.
+
+The default device-resident path replicates the whole split on every
+device (fine on one chip; on a pod it multiplies HBM cost by the data-
+axis size and requires every host to materialize the full dataset).
+This module shards the SPLIT's rows over the 'data' axis instead:
+
+* each data shard holds a contiguous block of rows (wrap-padded to an
+  equal block size);
+* epoch batch indices are built PER SHARD — segment j of every batch
+  contains LOCAL indices into shard j's block, so under ``shard_map``
+  each device gathers exclusively from its own rows.  No collective
+  touches the input pipeline (scaling-book rule: batch over 'data', data
+  loading host-local);
+* on a multi-process runtime each process materializes only the rows its
+  addressable devices own (``jax.make_array_from_process_local_data``);
+  single-process placement is one sharded ``device_put``.
+
+Used by ``parallel.strategy='shardmap_dp'`` + ``parallel.shard_data_rows``
+(the GSPMD gather would instead all-gather the operand, defeating the
+point — so the row-sharded mode is shard_map-only by construction).
+
+Shuffling semantics differ from the replicated path by design: the
+permutation is per-shard (each device samples from its own rows), the
+multi-host-correct equivalent of the reference's single-permutation
+shuffle.  Every real row is still visited exactly once per epoch
+(valid-masked wrap padding, same contract as MultimodalLoader).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodal_emotion_detection_tpu.parallel.mesh import DATA_AXIS
+
+
+def split_row_sharding(mesh: Mesh) -> NamedSharding:
+    """Rows of the split over 'data'; feature dims replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def rows_per_shard(n_rows: int, data_size: int) -> int:
+    return math.ceil(n_rows / data_size)
+
+
+def _wrap_pad(arr: np.ndarray, n_padded: int) -> np.ndarray:
+    if arr.shape[0] == n_padded:
+        return arr
+    idx = np.resize(np.arange(arr.shape[0]), n_padded)
+    return arr[idx]
+
+
+def place_row_sharded(
+    features: Dict[str, np.ndarray],
+    labels: np.ndarray,
+    mesh: Mesh,
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Place a split with rows sharded over the mesh's 'data' axis.
+
+    Rows are wrap-padded to ``rows_per * data_size`` (the per-shard valid
+    counts from :func:`shard_local_epoch_indices` mask the padding out of
+    every loss/metric).  Multi-process runtimes hand each process only
+    its local block.
+    """
+    data_size = mesh.shape[DATA_AXIS]
+    n_real = labels.shape[0]
+    n_padded = rows_per_shard(n_real, data_size) * data_size
+    sharding = split_row_sharding(mesh)
+
+    def place(arr):
+        arr = _wrap_pad(np.asarray(arr), n_padded)
+        if jax.process_count() > 1:
+            # each process contributes only the rows of its addressable
+            # shards; arr here would be a per-process view in a real
+            # multi-host loader (this line is the pod path)
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.device_put(arr, sharding)
+
+    placed = {m: place(a) for m, a in features.items()}
+    return placed, place(labels.astype(np.int32))
+
+
+def shard_local_epoch_indices(
+    n_real: int,
+    data_size: int,
+    batch_size: int,
+    epoch: int,
+    seed: int,
+    shuffle: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-shard LOCAL gather indices + valid mask for one epoch.
+
+    Returns ``(idx, valid)`` of shape (num_batches, batch_size).  Segment
+    j (length batch_size // data_size) of each batch indexes shard j's
+    local block.  Each shard's real rows appear exactly once with
+    valid=1; wrap-padding rows carry valid=0 so metrics stay exact.
+    """
+    if batch_size % data_size != 0:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by data axis {data_size}"
+        )
+    seg = batch_size // data_size
+    rows_per = rows_per_shard(n_real, data_size)
+    num_batches = math.ceil(rows_per / seg)
+    total = num_batches * seg
+
+    idx = np.empty((num_batches, batch_size), dtype=np.int32)
+    valid = np.zeros((num_batches, batch_size), dtype=np.float32)
+    for j in range(data_size):
+        # rows this shard actually owns (tail shard may hold wrap-padded
+        # duplicates of early rows; those are never marked valid)
+        real_j = max(0, min(rows_per, n_real - j * rows_per))
+        if shuffle:
+            rng = np.random.RandomState(
+                (seed * 1_000_003 + epoch * 7919 + j) % (2**31)
+            )
+            order = rng.permutation(max(real_j, 1))
+        else:
+            order = np.arange(max(real_j, 1))
+        order = np.resize(order, total).astype(np.int32)
+        v = np.zeros((total,), dtype=np.float32)
+        v[:real_j] = 1.0
+        cols = slice(j * seg, (j + 1) * seg)
+        idx[:, cols] = order.reshape(num_batches, seg)
+        valid[:, cols] = v.reshape(num_batches, seg)
+    return idx, valid

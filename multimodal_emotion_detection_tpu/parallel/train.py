@@ -149,6 +149,7 @@ def make_shardmap_dp_train_step(
     modality_dropout: float = 0.0,
     has_batch_stats: bool = False,
     donate: bool = True,
+    row_sharded_split: bool = False,
 ) -> Callable:
     """Data-parallel train step via ``shard_map`` (model axis must be 1).
 
@@ -253,6 +254,12 @@ def make_shardmap_dp_train_step(
 
     compiled = {}
 
+    # row_sharded_split: the split's rows live sharded over 'data'
+    # (parallel/data.py) and idx carries LOCAL per-shard indices — each
+    # device gathers exclusively from its own block, so the input
+    # pipeline needs no ICI at any dataset size
+    split_spec = P("data") if row_sharded_split else P()
+
     def sharded_step(state, features, labels, idx, valid, key):
         struct_key = tuple(sorted(features.keys()))
         if struct_key not in compiled:
@@ -261,8 +268,8 @@ def make_shardmap_dp_train_step(
                 mesh=mesh,
                 in_specs=(
                     P(),                      # state: replicated
-                    {m: P() for m in features},  # full split: replicated
-                    P(),                      # labels
+                    {m: split_spec for m in features},
+                    split_spec,               # labels follow the split
                     P("data"),                # idx: per-device shard
                     P("data"),                # valid
                     P(),                      # key

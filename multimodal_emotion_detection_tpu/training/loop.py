@@ -72,6 +72,7 @@ class Trainer:
         )
         self.state: Optional[TrainState] = None
         self._mesh = None
+        self._row_sharded = False
         self._train_step = None
         self._eval_step = None
         self._schedule = None
@@ -169,6 +170,13 @@ class Trainer:
             if (cfg.runtime.checkpoint_backend == "auto"
                     and jax.process_count() > 1):
                 self.checkpoints.backend = "orbax"
+            if cfg.parallel.shard_data_rows and strategy != "shardmap_dp":
+                raise ValueError(
+                    "parallel.shard_data_rows requires "
+                    "parallel.strategy='shardmap_dp' (a GSPMD gather "
+                    "would all-gather the row-sharded split)"
+                )
+            self._row_sharded = cfg.parallel.shard_data_rows
             if strategy == "shardmap_dp":
                 from multimodal_emotion_detection_tpu.parallel.train import (
                     make_shardmap_dp_train_step,
@@ -182,6 +190,7 @@ class Trainer:
                     ),
                     has_batch_stats=has_bn,
                     donate=cfg.runtime.donate_state,
+                    row_sharded_split=self._row_sharded,
                 )
             else:
                 self._train_step = make_sharded_train_step(
@@ -293,7 +302,20 @@ class Trainer:
         device_resident = getattr(train_loader, "device_resident", True)
         data_sharding = self._replicated if self._mesh is not None else None
         if device_resident:
-            feats, labels = train_loader.device_arrays(sharding=data_sharding)
+            if self._row_sharded:
+                from multimodal_emotion_detection_tpu.parallel.data import (
+                    place_row_sharded,
+                )
+
+                feats, labels = place_row_sharded(
+                    train_loader.arrays.features,
+                    train_loader.arrays.labels,
+                    self._mesh,
+                )
+            else:
+                feats, labels = train_loader.device_arrays(
+                    sharding=data_sharding
+                )
         base_key = jax.random.PRNGKey(cfg.seed)
         if self._mesh is not None:
             base_key = jax.device_put(base_key, self._replicated)
@@ -301,8 +323,22 @@ class Trainer:
 
         for epoch in range(start_epoch, cfg.training.max_epochs):
             # ---- train ----
-            idx_all = train_loader.epoch_batch_indices(epoch)
-            valid_all = train_loader.epoch_batch_valid()
+            if self._row_sharded:
+                from multimodal_emotion_detection_tpu.parallel.data import (
+                    shard_local_epoch_indices,
+                )
+
+                idx_all, valid_all = shard_local_epoch_indices(
+                    train_loader.num_samples,
+                    self._mesh.shape["data"],
+                    train_loader.batch_size,
+                    epoch,
+                    train_loader.seed,
+                    shuffle=train_loader.shuffle,
+                )
+            else:
+                idx_all = train_loader.epoch_batch_indices(epoch)
+                valid_all = train_loader.epoch_batch_valid()
             self.timer.reset()
             self.timer.start()
             if profile_dir and epoch == min(1, cfg.training.max_epochs - 1):

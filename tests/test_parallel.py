@@ -452,3 +452,146 @@ def test_shardmap_dp_composes_with_kernels():
                      jax.tree_util.tree_leaves(sm_state.params)):
         np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_shard_local_epoch_indices_cover_and_mask():
+    """Every real row appears exactly once with valid=1; padding masked;
+    deterministic per (seed, epoch, shard)."""
+    from multimodal_emotion_detection_tpu.parallel.data import (
+        shard_local_epoch_indices,
+    )
+
+    n_real, data_size, batch = 29, 4, 8
+    seg, rows_per = batch // data_size, 8
+    idx, valid = shard_local_epoch_indices(n_real, data_size, batch,
+                                           epoch=0, seed=7)
+    assert idx.shape == valid.shape == (4, 8)  # ceil(8/2)=4 batches
+    seen = []
+    for j in range(data_size):
+        cols = slice(j * seg, (j + 1) * seg)
+        li = idx[:, cols].ravel()
+        lv = valid[:, cols].ravel()
+        real_j = min(rows_per, n_real - j * rows_per)  # 8, 8, 8, 5
+        local = np.sort(li[lv == 1.0])
+        np.testing.assert_array_equal(local, np.arange(real_j))
+        assert (li < rows_per).all() and (li >= 0).all()
+        seen.extend((li[lv == 1.0] + j * rows_per).tolist())
+    assert sorted(seen) == list(range(n_real))
+    idx2, valid2 = shard_local_epoch_indices(n_real, data_size, batch, 0, 7)
+    np.testing.assert_array_equal(idx, idx2)
+    idx3, _ = shard_local_epoch_indices(n_real, data_size, batch, 1, 7)
+    assert not np.array_equal(idx, idx3)  # reshuffles across epochs
+
+
+def test_row_sharded_step_matches_replicated_shardmap():
+    """Row-sharded split + LOCAL indices == replicated split + the
+    equivalent GLOBAL indices, bitwise (same per-device rows and keys)."""
+    import jax.numpy as jnp
+
+    from multimodal_emotion_detection_tpu.models.classifier import (
+        MultimodalClassifier,
+    )
+    from multimodal_emotion_detection_tpu.parallel.data import (
+        place_row_sharded,
+    )
+    from multimodal_emotion_detection_tpu.parallel.mesh import make_mesh
+    from multimodal_emotion_detection_tpu.parallel.train import (
+        make_shardmap_dp_train_step,
+    )
+    from multimodal_emotion_detection_tpu.training.optim import (
+        build_optimizer,
+    )
+    from multimodal_emotion_detection_tpu.training.steps import (
+        create_train_state,
+    )
+    from tests.test_train import tiny_config
+
+    model = MultimodalClassifier(
+        modalities=("s1",),
+        encoder_configs={"s1": {"type": "mlp", "input_dim": 8,
+                                "hidden_dim": 16, "num_layers": 1,
+                                "batch_norm": False}},
+        num_classes=4, output_dim=8, hidden_dim=16, dropout=0.0,
+    )
+    data_size, n_rows, batch = 4, 64, 16
+    seg, rows_per = batch // data_size, n_rows // data_size
+    rng = np.random.RandomState(0)
+    feats_np = {"s1": rng.randn(n_rows, 8).astype(np.float32)}
+    labels_np = rng.randint(0, 4, n_rows).astype(np.int32)
+
+    # segment j: local rows [2j, 2j+1] -> global rows [16j+2j, ...]
+    local = np.concatenate(
+        [np.arange(2 * j, 2 * j + seg) for j in range(data_size)]
+    ).astype(np.int32)
+    global_ = np.concatenate(
+        [np.arange(2 * j, 2 * j + seg) + rows_per * j
+         for j in range(data_size)]
+    ).astype(np.int32)
+    valid = jnp.ones((batch,), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    cfg = tiny_config().training
+    tx, _ = build_optimizer(cfg, steps_per_epoch=2)
+    sample = {"s1": jnp.asarray(feats_np["s1"][:batch])}
+    state0 = create_train_state(model, tx, sample,
+                                jnp.ones((batch, 1), jnp.float32),
+                                jax.random.PRNGKey(1))
+
+    mesh = make_mesh(data_parallel=data_size, model_parallel=1)
+    step_repl = make_shardmap_dp_train_step(
+        model, tx, mesh, num_modalities=1, modality_dropout=0.0,
+        donate=False)
+    st_a, m_a = step_repl(state0, {m: jnp.asarray(a) for m, a in
+                                   feats_np.items()},
+                          jnp.asarray(labels_np), jnp.asarray(global_),
+                          valid, key)
+
+    feats_sh, labels_sh = place_row_sharded(feats_np, labels_np, mesh)
+    step_rows = make_shardmap_dp_train_step(
+        model, tx, mesh, num_modalities=1, modality_dropout=0.0,
+        donate=False, row_sharded_split=True)
+    st_b, m_b = step_rows(state0, feats_sh, labels_sh,
+                          jnp.asarray(local), valid, key)
+
+    np.testing.assert_array_equal(np.asarray(m_a["loss"]),
+                                  np.asarray(m_b["loss"]))
+    for a, b in zip(jax.tree_util.tree_leaves(st_a.params),
+                    jax.tree_util.tree_leaves(st_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_row_sharded_end_to_end(tmp_path):
+    """Trainer with parallel.shard_data_rows trains end-to-end on the
+    virtual mesh; gspmd + shard_data_rows is rejected."""
+    import pytest as _pytest
+
+    from multimodal_emotion_detection_tpu.data.loader import (
+        create_dataloaders,
+    )
+    from multimodal_emotion_detection_tpu.training.loop import Trainer
+    from tests.test_train import setattr_path, tiny_config
+
+    cfg = tiny_config()
+    setattr_path(cfg, "parallel.strategy", "shardmap_dp")
+    setattr_path(cfg, "parallel.shard_data_rows", True)
+    setattr_path(cfg, "parallel.model_parallel", 1)
+    loaders = create_dataloaders(
+        "synthetic", "", cfg.dataset.modalities,
+        batch_size=cfg.dataset.batch_size,
+        num_samples=cfg.dataset.num_samples,
+        num_samples_eval=cfg.dataset.num_samples_eval,
+        num_classes=cfg.dataset.num_classes,
+        sequence_length=cfg.dataset.sequence_length,
+        modality_dim=cfg.dataset.modality_dim,
+    )
+    trainer = Trainer(cfg, save_dir=tmp_path)
+    trainer.fit(loaders[0], loaders[1])
+    metrics, _, _, _ = trainer.test(loaders[2])
+    assert np.isfinite(metrics["test/loss"])
+    assert trainer._row_sharded
+
+    cfg_bad = tiny_config()
+    setattr_path(cfg_bad, "parallel.shard_data_rows", True)  # gspmd default
+    trainer_bad = Trainer(cfg_bad, save_dir=tmp_path / "bad")
+    with _pytest.raises(ValueError, match="shard_data_rows"):
+        trainer_bad._build(loaders[0])
