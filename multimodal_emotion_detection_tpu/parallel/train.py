@@ -166,7 +166,12 @@ def make_shardmap_dp_train_step(
     of the loss SUM are psum'd then divided by the global valid count —
     the same mean-gradient the global masked-mean loss produces.
     """
-    from jax.experimental.shard_map import shard_map
+    try:  # jax >= 0.8 top-level API; experimental path for older jax
+        from jax import shard_map
+        _check_kwarg = {"check_vma": False}
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+        _check_kwarg = {"check_rep": False}
     from jax.sharding import PartitionSpec as P
 
     if mesh.shape.get("model", 1) != 1:
@@ -275,7 +280,7 @@ def make_shardmap_dp_train_step(
                     P(),                      # key
                 ),
                 out_specs=(P(), P()),
-                check_rep=False,
+                **_check_kwarg,
             )
             compiled[struct_key] = jax.jit(
                 mapped, donate_argnums=(0,) if donate else ()
