@@ -33,8 +33,11 @@ import numpy as np
 
 
 def _build(frontend: str, batch: int, n_rows: int, seed: int = 0,
-           compute_dtype: str = "float32"):
-    """frontend: 'raw' | 'logmel_xla' | 'logmel_pallas'."""
+           compute_dtype: str = "float32", scan: bool = False):
+    """frontend: 'raw' | 'logmel_xla' | 'logmel_pallas'.
+
+    With ``scan`` the returned step is the epoch-scan driver
+    (make_epoch_train_step) instead of the per-step one."""
     import jax
     import jax.numpy as jnp
 
@@ -45,6 +48,7 @@ def _build(frontend: str, batch: int, n_rows: int, seed: int = 0,
     from multimodal_emotion_detection_tpu.training.optim import build_optimizer
     from multimodal_emotion_detection_tpu.training.steps import (
         create_train_state,
+        make_epoch_train_step,
         make_train_step,
     )
 
@@ -91,7 +95,8 @@ def _build(frontend: str, batch: int, n_rows: int, seed: int = 0,
         model, tx, sample, jnp.ones((batch, 2), jnp.float32),
         jax.random.PRNGKey(0),
     )
-    step = make_train_step(
+    make = make_epoch_train_step if scan else make_train_step
+    step = make(
         model, tx, num_modalities=2, modality_dropout=0.1,
         has_batch_stats=bool(state.model_state),
     )
@@ -124,11 +129,49 @@ def _time_steps(state, step, features, labels, batch, n_rows, warmup, iters):
     return batch * iters / dt, state
 
 
+def _time_epoch_scan(state, epoch_step, features, labels, batch, n_rows,
+                     warmup, iters, steps_per_epoch=8):
+    """Time the Trainer's default driver: ONE lax.scan dispatch per epoch
+    (runtime.epoch_scan, training/steps.py:make_epoch_train_step)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    S, B = steps_per_epoch, batch
+    mats = [
+        jnp.asarray(
+            (np.arange(S * B).reshape(S, B) + e * S * B) % n_rows,
+            dtype=jnp.int32,
+        )
+        for e in range(warmup + iters)
+    ]
+    valid = jnp.ones((S, B), jnp.float32)
+    metrics = None
+    for e in range(warmup):
+        state, metrics = epoch_step(state, features, labels, mats[e],
+                                    valid, key)
+    float(metrics["loss"][-1])  # VALUE FETCH sync (see _time_steps note)
+    t0 = time.perf_counter()
+    for e in range(warmup, warmup + iters):
+        state, metrics = epoch_step(state, features, labels, mats[e],
+                                    valid, key)
+    last_loss = float(metrics["loss"][-1])
+    dt = time.perf_counter() - t0
+    assert last_loss == last_loss, "NaN loss in benchmark"
+    return S * B * iters / dt, state
+
+
 def run_one(frontend: str, batch: int, n_rows: int, warmup: int, iters: int,
-            compute_dtype: str = "float32"):
+            compute_dtype: str = "float32", epoch_scan: bool = False):
     state, step, features, labels = _build(
-        frontend, batch, n_rows, compute_dtype=compute_dtype
+        frontend, batch, n_rows, compute_dtype=compute_dtype,
+        scan=epoch_scan,
     )
+    if epoch_scan:
+        cps, _ = _time_epoch_scan(
+            state, step, features, labels, batch, n_rows, warmup, iters,
+        )
+        return cps
     cps, _ = _time_steps(
         state, step, features, labels, batch, n_rows, warmup, iters
     )
@@ -185,19 +228,24 @@ def main():
     # order matters: the Pallas probe runs LAST in its own process — a
     # faulting kernel has wedged the tunneled chip for hours before, and
     # the safe measurements must already be banked by then
-    fast_xla = run_one("logmel_xla", batch, n_rows, warmup=3, iters=30)
+    # all fast paths ride the Trainer's default epoch-scan driver
+    # (runtime.epoch_scan: one lax.scan dispatch per epoch); the raw
+    # baseline keeps per-step dispatch — at its 720 ms step the ~1 ms
+    # dispatch is 0.1%, so the comparison is driver-neutral
+    fast_xla = run_one("logmel_xla", batch, n_rows, warmup=3, iters=30,
+                       epoch_scan=True)
     base_cps = run_one("raw", batch, n_rows, warmup=2, iters=6)
     # once-per-split cached frontend (frontend.cache=true; Trainer parity
     # tested) — the round-2 throughput point
     try:
         cached_cps = run_one("logmel_cached", batch, n_rows, warmup=3,
-                             iters=30)
+                             iters=30, epoch_scan=True)
     except Exception:
         cached_cps = None
     # throughput-optimized point (configs/fast.yaml): larger batch + bf16
     try:
         peak_cps = run_one("logmel_cached", 256, 256, warmup=2, iters=8,
-                           compute_dtype="bfloat16")
+                           compute_dtype="bfloat16", epoch_scan=True)
     except Exception:
         peak_cps = None
     fast_pallas = _pallas_subprocess(batch)
@@ -238,7 +286,8 @@ if __name__ == "__main__":
         from multimodal_emotion_detection_tpu.utils.runtime import setup_jax
 
         setup_jax()
-        cps = run_one(sys.argv[2], int(sys.argv[3]), 256, warmup=3, iters=30)
+        cps = run_one(sys.argv[2], int(sys.argv[3]), 256, warmup=3, iters=30,
+                      epoch_scan=True)
         print("ONE_RESULT", cps)
     else:
         main()

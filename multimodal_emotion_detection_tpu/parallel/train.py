@@ -34,16 +34,26 @@ def make_sharded_train_step(
     has_batch_stats: bool = False,
     min_shard_dim: int = 256,
     donate: bool = True,
+    scan_epoch: bool = False,
 ) -> Callable:
     """Jit the train step over ``mesh``.
 
     Layout: dataset replicated (each device gathers its own batch shard
     from its replica), ``idx``/``valid`` sharded over 'data', TrainState
     sharded by the TP rule, metrics replicated.
+
+    With ``scan_epoch`` the returned callable takes (S, B) idx/valid
+    matrices (batch dim still sharded over 'data') and runs ALL S steps
+    as one ``lax.scan`` dispatch — same body, stacked (S,) metrics out.
     """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     st_shardings = state_shardings(state, mesh, min_shard_dim)
     data_sh = replicated(mesh)
-    bsh = batch_sharding(mesh)
+    bsh = (
+        NamedSharding(mesh, P(None, "data")) if scan_epoch
+        else batch_sharding(mesh)
+    )
     rep = replicated(mesh)
 
     def step_fn(state: TrainState, features, labels, idx, valid, key):
@@ -121,13 +131,23 @@ def make_sharded_train_step(
             rep,  # key
         )
 
+    if scan_epoch:
+        def run_fn(state, features, labels, idx_mat, valid_mat, key):
+            def body(st, xs):
+                idx, valid = xs
+                return step_fn(st, features, labels, idx, valid, key)
+
+            return jax.lax.scan(body, state, (idx_mat, valid_mat))
+    else:
+        run_fn = step_fn
+
     compiled = {}
 
     def sharded_step(state, features, labels, idx, valid, key):
         struct_key = tuple(sorted(features.keys()))
         if struct_key not in compiled:
             compiled[struct_key] = jax.jit(
-                step_fn,
+                run_fn,
                 in_shardings=in_shardings_for(features),
                 out_shardings=(
                     st_shardings,
@@ -150,8 +170,14 @@ def make_shardmap_dp_train_step(
     has_batch_stats: bool = False,
     donate: bool = True,
     row_sharded_split: bool = False,
+    scan_epoch: bool = False,
 ) -> Callable:
     """Data-parallel train step via ``shard_map`` (model axis must be 1).
+
+    With ``scan_epoch`` the callable takes (S, B) idx/valid matrices
+    (batch dim sharded over 'data') and the per-device body runs its S
+    local steps as one ``lax.scan`` INSIDE shard_map — one dispatch per
+    epoch, kernels still lowering on local shapes.
 
     The GSPMD path partitions one global program, which prevents the
     manual-DMA Pallas recurrence kernels from lowering (they need local
@@ -257,6 +283,18 @@ def make_shardmap_dp_train_step(
             metrics,
         )
 
+    if scan_epoch:
+        def body_fn(state, features, labels, idx_mat, valid_mat, key):
+            def body(st, xs):
+                idx, valid = xs
+                return per_device(st, features, labels, idx, valid, key)
+
+            return jax.lax.scan(body, state, (idx_mat, valid_mat))
+        batch_spec = P(None, "data")
+    else:
+        body_fn = per_device
+        batch_spec = P("data")
+
     compiled = {}
 
     # row_sharded_split: the split's rows live sharded over 'data'
@@ -269,14 +307,14 @@ def make_shardmap_dp_train_step(
         struct_key = tuple(sorted(features.keys()))
         if struct_key not in compiled:
             mapped = shard_map(
-                per_device,
+                body_fn,
                 mesh=mesh,
                 in_specs=(
                     P(),                      # state: replicated
                     {m: split_spec for m in features},
                     split_spec,               # labels follow the split
-                    P("data"),                # idx: per-device shard
-                    P("data"),                # valid
+                    batch_spec,               # idx: per-device shard
+                    batch_spec,               # valid
                     P(),                      # key
                 ),
                 out_specs=(P(), P()),

@@ -35,6 +35,7 @@ from multimodal_emotion_detection_tpu.training.optim import build_optimizer
 from multimodal_emotion_detection_tpu.training.steps import (
     TrainState,
     create_train_state,
+    make_epoch_train_step,
     make_eval_step,
     make_train_step,
 )
@@ -74,6 +75,7 @@ class Trainer:
         self._mesh = None
         self._row_sharded = False
         self._train_step = None
+        self._epoch_step = None
         self._eval_step = None
         self._schedule = None
         self._opt_name = (
@@ -177,13 +179,15 @@ class Trainer:
                     "would all-gather the row-sharded split)"
                 )
             self._row_sharded = cfg.parallel.shard_data_rows
+            scan_on = getattr(cfg.runtime, "epoch_scan", "auto") in (
+                "auto", "on",
+            )
             if strategy == "shardmap_dp":
                 from multimodal_emotion_detection_tpu.parallel.train import (
                     make_shardmap_dp_train_step,
                 )
 
-                self._train_step = make_shardmap_dp_train_step(
-                    self.model, tx, self._mesh,
+                step_kwargs = dict(
                     num_modalities=train_loader.arrays.num_modalities,
                     modality_dropout=(
                         cfg.training.augmentation.modality_dropout
@@ -192,9 +196,16 @@ class Trainer:
                     donate=cfg.runtime.donate_state,
                     row_sharded_split=self._row_sharded,
                 )
+                self._train_step = make_shardmap_dp_train_step(
+                    self.model, tx, self._mesh, **step_kwargs
+                )
+                if scan_on:
+                    self._epoch_step = make_shardmap_dp_train_step(
+                        self.model, tx, self._mesh, scan_epoch=True,
+                        **step_kwargs,
+                    )
             else:
-                self._train_step = make_sharded_train_step(
-                    self.model, tx, self._mesh, self.state,
+                step_kwargs = dict(
                     num_modalities=train_loader.arrays.num_modalities,
                     modality_dropout=(
                         cfg.training.augmentation.modality_dropout
@@ -203,6 +214,14 @@ class Trainer:
                     min_shard_dim=cfg.parallel.min_shard_dim,
                     donate=cfg.runtime.donate_state,
                 )
+                self._train_step = make_sharded_train_step(
+                    self.model, tx, self._mesh, self.state, **step_kwargs
+                )
+                if scan_on:
+                    self._epoch_step = make_sharded_train_step(
+                        self.model, tx, self._mesh, self.state,
+                        scan_epoch=True, **step_kwargs,
+                    )
         else:
             self._mesh = None
             self._train_step = make_train_step(
@@ -213,6 +232,19 @@ class Trainer:
                 has_batch_stats=has_bn,
                 donate=cfg.runtime.donate_state,
             )
+            # one-dispatch-per-epoch scan driver (bit-identical per-step
+            # trajectory; removes host dispatch from the inner loop)
+            if getattr(cfg.runtime, "epoch_scan", "auto") in ("auto", "on"):
+                self._epoch_step = make_epoch_train_step(
+                    self.model,
+                    tx,
+                    num_modalities=train_loader.arrays.num_modalities,
+                    modality_dropout=(
+                        cfg.training.augmentation.modality_dropout
+                    ),
+                    has_batch_stats=has_bn,
+                    donate=cfg.runtime.donate_state,
+                )
         # eval jit follows the input shardings automatically (GSPMD)
         self._eval_step = make_eval_step(
             self.model, train_loader.arrays.num_modalities
@@ -265,6 +297,20 @@ class Trainer:
         if self._mesh is not None and len(idx) % self._mesh.shape["data"] == 0:
             return jax.device_put(jnp.asarray(idx), self._batch_sharding)
         return jnp.asarray(idx)
+
+    def _place_mat(self, mat: np.ndarray, dtype) -> jnp.ndarray:
+        """Place an (S, B) epoch matrix; batch dim sharded under a mesh."""
+        arr = jnp.asarray(mat, dtype=dtype)
+        if (
+            self._mesh is not None
+            and mat.shape[1] % self._mesh.shape["data"] == 0
+        ):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.device_put(
+                arr, NamedSharding(self._mesh, P(None, "data"))
+            )
+        return arr
 
     def _place_valid(self, valid: np.ndarray) -> jnp.ndarray:
         if (
@@ -344,7 +390,18 @@ class Trainer:
             if profile_dir and epoch == min(1, cfg.training.max_epochs - 1):
                 jax.profiler.start_trace(str(profile_dir))
             epoch_metrics = []
-            if device_resident:
+            stacked_dev = None
+            if device_resident and self._epoch_step is not None:
+                # one dispatch per epoch: lax.scan over all (S, B) batches
+                self.state, stacked_dev = self._epoch_step(
+                    self.state,
+                    feats,
+                    labels,
+                    self._place_mat(idx_all, jnp.int32),
+                    self._place_mat(valid_all, jnp.float32),
+                    base_key,
+                )
+            elif device_resident:
                 # TPU-native path: split lives in HBM, batches gathered in-jit
                 for b in range(idx_all.shape[0]):
                     self.state, metrics = self._train_step(
@@ -375,17 +432,18 @@ class Trainer:
             # sync via a VALUE FETCH: on the tunneled axon backend
             # block_until_ready can return before execution completes,
             # which would make the logged clips/sec dispatch-only
-            if epoch_metrics:
+            if stacked_dev is not None:
+                stacked = jax.device_get(stacked_dev)
+            elif epoch_metrics:
                 float(jax.device_get(epoch_metrics[-1]["loss"]))
+                stacked = jax.device_get(
+                    jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *epoch_metrics
+                    )
+                )
             if profile_dir and epoch == min(1, cfg.training.max_epochs - 1):
                 jax.profiler.stop_trace()
             train_time = self.timer.stop(int(valid_all.sum()))
-
-            stacked = jax.device_get(
-                jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *epoch_metrics
-                )
-            )
             # sample-weighted epoch means (batches may carry wrap padding)
             weights = np.maximum(np.asarray(stacked["count"]), 1e-9)
             weights = weights / weights.sum()

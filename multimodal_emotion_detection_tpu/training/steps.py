@@ -81,24 +81,16 @@ def _batch_metrics(logits, labels, valid) -> Dict[str, jnp.ndarray]:
     return {"acc": acc, "confidence_mean": conf, "entropy": ent}
 
 
-def make_train_step(
+def _make_train_step_body(
     model,
     tx: optax.GradientTransformation,
     num_modalities: int,
     modality_dropout: float = 0.0,
     has_batch_stats: bool = False,
-    donate: bool = True,
 ) -> Callable:
-    """Build the jitted gather+forward+backward+update step.
-
-    Signature of the returned function::
-
-        new_state, metrics = train_step(state, features, labels, idx, valid, key)
-
-    ``features``/``labels`` are the FULL split (device-resident); ``idx`` is
-    the (B,) gather index for this batch; ``valid`` is the (B,) real-row
-    mask; ``key`` is a per-run base key (step number is folded in).
-    """
+    """The un-jitted gather+forward+backward+update body shared by the
+    per-step (`make_train_step`) and epoch-scan (`make_epoch_train_step`)
+    wrappers."""
 
     def step_fn(state: TrainState, features, labels, idx, valid, key):
         batch = {m: jnp.take(a, idx, axis=0) for m, a in features.items()}
@@ -149,7 +141,72 @@ def make_train_step(
         )
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    num_modalities: int,
+    modality_dropout: float = 0.0,
+    has_batch_stats: bool = False,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted gather+forward+backward+update step.
+
+    Signature of the returned function::
+
+        new_state, metrics = train_step(state, features, labels, idx, valid, key)
+
+    ``features``/``labels`` are the FULL split (device-resident); ``idx`` is
+    the (B,) gather index for this batch; ``valid`` is the (B,) real-row
+    mask; ``key`` is a per-run base key (step number is folded in).
+    """
+    step_fn = _make_train_step_body(
+        model, tx, num_modalities, modality_dropout, has_batch_stats
+    )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_epoch_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    num_modalities: int,
+    modality_dropout: float = 0.0,
+    has_batch_stats: bool = False,
+    donate: bool = True,
+) -> Callable:
+    """Scan the train step over ALL batches of an epoch in ONE dispatch.
+
+    Signature::
+
+        new_state, stacked_metrics = epoch_step(
+            state, features, labels, idx_mat, valid_mat, key)
+
+    ``idx_mat``/``valid_mat`` are (S, B) — one row per batch.  The body is
+    bit-identical to ``make_train_step``'s (same key folding: the step
+    counter advances inside the carry), so per-step metric trajectories
+    match the per-step dispatch path exactly; stacked_metrics leaves have
+    a leading (S,) axis.
+
+    Why: on hosts where per-step dispatch latency rivals the step's device
+    time (measured 1.63x on the tunneled v5e: benchmarks/r2r_tpu.json),
+    driving the whole epoch as one XLA while-loop removes the host from
+    the inner loop.  Data must already be device-resident — which the
+    HBM-resident split path guarantees (SURVEY.md §5 'Distributed').
+    """
+    step_fn = _make_train_step_body(
+        model, tx, num_modalities, modality_dropout, has_batch_stats
+    )
+
+    def epoch_fn(state, features, labels, idx_mat, valid_mat, key):
+        def body(st, xs):
+            idx, valid = xs
+            return step_fn(st, features, labels, idx, valid, key)
+
+        return jax.lax.scan(body, state, (idx_mat, valid_mat))
+
+    return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, num_modalities: int) -> Callable:

@@ -373,6 +373,31 @@ def test_shardmap_dp_matches_single_device():
     np.testing.assert_allclose(sm_losses, single_losses, rtol=6e-2)
 
 
+def test_shardmap_dp_epoch_scan_matches_per_step():
+    """Under shardmap_dp, the epoch-scan driver (lax.scan inside the
+    shard_map body) is bit-identical to per-step dispatch."""
+    from multimodal_emotion_detection_tpu.training.loop import Trainer
+    from tests.test_train import make_loaders, tiny_config
+
+    def run(mode, tag):
+        cfg = tiny_config()
+        cfg.parallel.data_parallel = 4
+        cfg.parallel.model_parallel = 1
+        cfg.parallel.strategy = "shardmap_dp"
+        cfg.training.max_epochs = 2
+        cfg.runtime.epoch_scan = mode
+        train_loader, val_loader, _ = make_loaders(cfg)
+        t = Trainer(cfg, save_dir=f"/tmp/shardmap_scan_{tag}")
+        t.fit(train_loader, val_loader)
+        assert (t._epoch_step is not None) == (mode == "on")
+        return [
+            (row["train/loss"], row["val/loss"], row["train/acc"])
+            for row in t.history
+        ]
+
+    np.testing.assert_array_equal(run("on", "scan"), run("off", "loop"))
+
+
 def test_shardmap_dp_composes_with_kernels():
     """The Pallas recurrence kernels lower inside shard_map bodies.
 

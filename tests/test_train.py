@@ -393,6 +393,26 @@ def test_trainer_fully_deterministic(tmp_path):
     assert not np.array_equal(a, c)
 
 
+def test_epoch_scan_matches_per_step_dispatch(tmp_path):
+    """runtime.epoch_scan drives the epoch as ONE lax.scan dispatch; the
+    per-step metric trajectory and final history must be bit-identical to
+    the per-step dispatch path (same body, same key folding)."""
+    def run(mode, tag):
+        cfg = tiny_config()
+        cfg.training.max_epochs = 2
+        cfg.runtime.epoch_scan = mode
+        train_loader, val_loader, _ = make_loaders(cfg)
+        t = Trainer(cfg, save_dir=tmp_path / tag)
+        t.fit(train_loader, val_loader)
+        assert (t._epoch_step is not None) == (mode == "on")
+        return [
+            (row["train/loss"], row["val/loss"], row["train/acc"])
+            for row in t.history
+        ]
+
+    np.testing.assert_array_equal(run("on", "scan"), run("off", "loop"))
+
+
 def test_resume_equals_uninterrupted(tmp_path):
     """2 epochs + resume to 4 == 4 epochs straight (same seeds/keys)."""
     def fresh(max_epochs, tag, resume=False):
