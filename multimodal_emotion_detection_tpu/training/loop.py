@@ -35,6 +35,7 @@ from multimodal_emotion_detection_tpu.training.optim import build_optimizer
 from multimodal_emotion_detection_tpu.training.steps import (
     TrainState,
     create_train_state,
+    make_epoch_eval_step,
     make_epoch_train_step,
     make_eval_step,
     make_train_step,
@@ -77,6 +78,7 @@ class Trainer:
         self._train_step = None
         self._epoch_step = None
         self._eval_step = None
+        self._epoch_eval_step = None
         self._schedule = None
         self._opt_name = (
             "AdamW" if config.training.optimizer == "adamw" else "Adam"
@@ -249,6 +251,10 @@ class Trainer:
         self._eval_step = make_eval_step(
             self.model, train_loader.arrays.num_modalities
         )
+        if getattr(cfg.runtime, "epoch_scan", "auto") in ("auto", "on"):
+            self._epoch_eval_step = make_epoch_eval_step(
+                self.model, train_loader.arrays.num_modalities
+            )
 
     def _maybe_cache_frontend(self, loader) -> None:
         """Precompute audio features for a split (frontend.cache=true).
@@ -569,6 +575,29 @@ class Trainer:
             loader.set_epoch(0)
             host_batches = iter(loader)
             identity = jnp.arange(loader.batch_size, dtype=jnp.int32)
+        if device_resident and self._epoch_eval_step is not None:
+            # one lax.scan dispatch over the whole split (same exact sums)
+            totals_dev, (logits_s, preds_s, labels_s) = self._epoch_eval_step(
+                state.params,
+                state.model_state,
+                feats,
+                labels,
+                self._place_mat(idx_all, jnp.int32),
+                self._place_mat(valid_all, jnp.float32),
+            )
+            totals = {
+                k: float(v) for k, v in jax.device_get(totals_dev).items()
+            }
+            collected = None
+            if collect:
+                valid = np.asarray(valid_all).reshape(-1).astype(bool)
+                lg = np.asarray(jax.device_get(logits_s))
+                collected = (
+                    lg.reshape(-1, lg.shape[-1])[valid],
+                    np.asarray(jax.device_get(preds_s)).reshape(-1)[valid],
+                    np.asarray(jax.device_get(labels_s)).reshape(-1)[valid],
+                )
+            return totals, collected
         totals = None
         logits_list, preds_list, labels_list, valid_list = [], [], [], []
         for b in range(idx_all.shape[0]):

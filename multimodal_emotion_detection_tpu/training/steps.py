@@ -209,13 +209,7 @@ def make_epoch_train_step(
     return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, num_modalities: int) -> Callable:
-    """Jitted eval step returning exact metric sums + logits.
-
-    Returns ``(sums, logits)`` where sums has keys loss_sum / correct_sum /
-    conf_sum / entropy_sum / count.
-    """
-
+def _make_eval_step_body(model, num_modalities: int) -> Callable:
     def step_fn(params, model_state, features, labels, idx, valid):
         batch = {m: jnp.take(a, idx, axis=0) for m, a in features.items()}
         batch_labels = jnp.take(labels, idx, axis=0)
@@ -241,7 +235,51 @@ def make_eval_step(model, num_modalities: int) -> Callable:
         }
         return sums, (logits, preds, batch_labels)
 
-    return jax.jit(step_fn)
+    return step_fn
+
+
+def make_eval_step(model, num_modalities: int) -> Callable:
+    """Jitted eval step returning exact metric sums + logits.
+
+    Returns ``(sums, logits)`` where sums has keys loss_sum / correct_sum /
+    conf_sum / entropy_sum / count.
+    """
+    return jax.jit(_make_eval_step_body(model, num_modalities))
+
+
+def make_epoch_eval_step(model, num_modalities: int) -> Callable:
+    """Scan the eval step over ALL batches of a split in ONE dispatch.
+
+    Signature::
+
+        totals, (logits, preds, labels) = epoch_eval(
+            params, model_state, features, labels, idx_mat, valid_mat)
+
+    ``totals`` are the summed metric sums over all S batches (exact, same
+    order-independent adds as the per-step loop); the collected arrays are
+    stacked (S, B, ...).  Same dispatch-amortization rationale as
+    ``make_epoch_train_step``; parameters are invariant across the scan so
+    XLA hoists any layout conversion once.
+    """
+    step_fn = _make_eval_step_body(model, num_modalities)
+
+    def epoch_fn(params, model_state, features, labels, idx_mat, valid_mat):
+        def body(totals, xs):
+            idx, valid = xs
+            sums, out = step_fn(
+                params, model_state, features, labels, idx, valid
+            )
+            return jax.tree_util.tree_map(jnp.add, totals, sums), out
+
+        zero = {
+            k: jnp.zeros((), jnp.float32)
+            for k in ("loss_sum", "correct_sum", "conf_sum", "entropy_sum",
+                      "count")
+        }
+        totals, outs = jax.lax.scan(body, zero, (idx_mat, valid_mat))
+        return totals, outs
+
+    return jax.jit(epoch_fn)
 
 
 def make_forward_fn(model, num_modalities: int) -> Callable:

@@ -413,6 +413,23 @@ def test_epoch_scan_matches_per_step_dispatch(tmp_path):
     np.testing.assert_array_equal(run("on", "scan"), run("off", "loop"))
 
 
+def test_epoch_scan_eval_matches_per_step(tmp_path):
+    """The scanned eval driver returns identical metric sums and collected
+    logits/preds/labels to the per-batch dispatch path."""
+    cfg = tiny_config()
+    cfg.training.max_epochs = 1
+    train_loader, val_loader, test_loader = make_loaders(cfg)
+    t = Trainer(cfg, save_dir=tmp_path / "e")
+    t.fit(train_loader, val_loader)
+
+    sums_scan, col_scan = t._run_eval(test_loader, collect=True)
+    t._epoch_eval_step = None  # force the per-step path
+    sums_loop, col_loop = t._run_eval(test_loader, collect=True)
+    assert sums_scan == sums_loop
+    for a, b in zip(col_scan, col_loop):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_resume_equals_uninterrupted(tmp_path):
     """2 epochs + resume to 4 == 4 epochs straight (same seeds/keys)."""
     def fresh(max_epochs, tag, resume=False):
