@@ -72,6 +72,35 @@ def main():
     )
     OUT.write_text(json.dumps(results, indent=2))
 
+    # batched throughput serving: S=8 microbatches in ONE dispatch
+    # (make_batched_forward_fn; the per-dispatch forward above is ~50%
+    # host dispatch at b32)
+    from multimodal_emotion_detection_tpu.training.steps import (
+        make_batched_forward_fn,
+    )
+
+    S = 8
+    feats_many = {
+        m: jnp.broadcast_to(a[None], (S,) + a.shape) for m, a in features.items()
+    }
+    for tag, (p, m_) in (("scan", (params, model)),
+                         ("kernel", (params_k, model_k))):
+        fwd_many = make_batched_forward_fn(m_, 2)
+
+        def many():
+            return fwd_many(p, {}, feats_many)
+
+        np.asarray(many())
+        t0 = time.perf_counter()
+        iters = 30
+        for _ in range(iters):
+            out = many()
+        np.asarray(out)
+        results[f"forward_batched_{tag}_clips_per_sec"] = round(
+            S * batch * iters / (time.perf_counter() - t0), 1
+        )
+        OUT.write_text(json.dumps(results, indent=2))
+
     # vmapped MC dropout (S=10): one program, S x batch
     def mc():
         logits, unc = mc_dropout_predict(

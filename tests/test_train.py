@@ -413,6 +413,67 @@ def test_epoch_scan_matches_per_step_dispatch(tmp_path):
     np.testing.assert_array_equal(run("on", "scan"), run("off", "loop"))
 
 
+def test_epoch_scan_matches_per_step_with_batchnorm(tmp_path):
+    """BatchNorm models thread batch_stats through the scan carry; the
+    trajectory must still match the per-step path bitwise."""
+    def run(mode, tag):
+        cfg = tiny_config()
+        cfg.training.max_epochs = 1
+        cfg.runtime.epoch_scan = mode
+        apply_overrides(cfg, [
+            ("model.encoders={s1: {type: mlp, input_dim: 8, hidden_dim: 16, "
+             "num_layers: 1, batch_norm: true}, s2: {type: mlp, input_dim: 8,"
+             " hidden_dim: 16, num_layers: 1, batch_norm: true}}"),
+        ])
+        train_loader, val_loader, _ = make_loaders(cfg)
+        t = Trainer(cfg, save_dir=tmp_path / tag)
+        t.fit(train_loader, val_loader)
+        assert bool(t.state.model_state), "expected batch_stats in state"
+        return [
+            (row["train/loss"], row["val/loss"]) for row in t.history
+        ]
+
+    np.testing.assert_array_equal(run("on", "bn_scan"), run("off", "bn_loop"))
+
+
+def test_batched_forward_matches_per_batch(tmp_path):
+    """make_batched_forward_fn (S microbatches, one dispatch) returns the
+    same logits as S calls of make_forward_fn."""
+    from multimodal_emotion_detection_tpu.models.classifier import (
+        classifier_from_config,
+    )
+    from multimodal_emotion_detection_tpu.training.steps import (
+        make_batched_forward_fn,
+        make_forward_fn,
+    )
+    import jax
+
+    cfg = tiny_config()
+    model = classifier_from_config(cfg)
+    S, B = 3, 8
+    rng = np.random.RandomState(0)
+    feats = {
+        m: jnp.asarray(rng.randn(S, B, 6, 8), jnp.float32)
+        for m in ("s1", "s2")
+    }
+    sample = {m: a[0] for m, a in feats.items()}
+    variables = model.init(jax.random.PRNGKey(0), sample,
+                           jnp.ones((B, 2), jnp.float32),
+                           deterministic=True)
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
+
+    one = make_forward_fn(model, 2)
+    many = make_batched_forward_fn(model, 2)
+    stacked = np.asarray(many(params, model_state, feats))
+    for s in range(S):
+        np.testing.assert_array_equal(
+            stacked[s],
+            np.asarray(one(params, model_state,
+                           {m: a[s] for m, a in feats.items()})),
+        )
+
+
 def test_epoch_scan_eval_matches_per_step(tmp_path):
     """The scanned eval driver returns identical metric sums and collected
     logits/preds/labels to the per-batch dispatch path."""
