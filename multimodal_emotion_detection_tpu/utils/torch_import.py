@@ -108,6 +108,56 @@ def import_reference_state_dict(
                 layer += 1
             enc["projection"] = linear(f"{base}.projection")
 
+        elif f"{base}.conv1.weight" in sd:  # SequenceEncoder cnn (:79-94)
+            for conv in ("conv1", "conv2"):
+                # torch Conv1d (C_out, C_in, K) -> flax Conv (K, C_in, C_out)
+                enc[conv] = {
+                    "kernel": sd[f"{base}.{conv}.weight"].transpose(2, 1, 0),
+                    "bias": sd[f"{base}.{conv}.bias"],
+                }
+            for bn in ("bn1", "bn2"):
+                enc[bn] = {
+                    "scale": sd[f"{base}.{bn}.weight"],
+                    "bias": sd[f"{base}.{bn}.bias"],
+                }
+            enc["projection"] = linear(f"{base}.projection")
+
+        elif f"{base}.input_proj.weight" in sd:  # SequenceEncoder transformer
+            enc["input_proj"] = linear(f"{base}.input_proj")
+            enc["pos_embedding"] = {
+                "embedding": sd[f"{base}.pos_embedding.weight"]
+            }
+            i = 0
+            while (
+                f"{base}.transformer.layers.{i}.self_attn.in_proj_weight"
+                in sd
+            ):
+                lyr = f"{base}.transformer.layers.{i}"
+                blk = enc[f"block_{i}"]
+                # template tells us the head split: kernel (E, nH, hd)
+                e, heads, hd = blk["self_attn"]["query"]["kernel"].shape
+                w_in = sd[f"{lyr}.self_attn.in_proj_weight"]  # (3E, E)
+                b_in = sd[f"{lyr}.self_attn.in_proj_bias"]
+                for j, name in enumerate(("query", "key", "value")):
+                    blk["self_attn"][name] = {
+                        "kernel": w_in[j * e:(j + 1) * e].T.reshape(
+                            e, heads, hd
+                        ),
+                        "bias": b_in[j * e:(j + 1) * e].reshape(heads, hd),
+                    }
+                blk["self_attn"]["out"] = {
+                    "kernel": sd[f"{lyr}.self_attn.out_proj.weight"].T.reshape(
+                        heads, hd, e
+                    ),
+                    "bias": sd[f"{lyr}.self_attn.out_proj.bias"],
+                }
+                blk["ln1"] = layernorm(f"{lyr}.norm1")
+                blk["ln2"] = layernorm(f"{lyr}.norm2")
+                blk["ffn_in"] = linear(f"{lyr}.linear1")
+                blk["ffn_out"] = linear(f"{lyr}.linear2")
+                i += 1
+            enc["projection"] = linear(f"{base}.projection")
+
         elif f"{base}.frame_mlp.0.weight" in sd:  # FrameEncoder
             enc["frame_mlp"] = linear(f"{base}.frame_mlp.0")
             if f"{base}.attention.weight" in sd:

@@ -203,6 +203,7 @@ def _ours_trajectory(init_state_dict, audio, video, labels,
     state = state.replace(params=jax.tree.map(jnp.asarray, params))
 
     step = make_train_step(model, tx, num_modalities=2, modality_dropout=0.0,
+                           has_batch_stats=bool(state.model_state),
                            donate=False)
     valid = jnp.ones((BATCH,), jnp.float32)
     key = jax.random.PRNGKey(0)
@@ -222,7 +223,9 @@ def _ours_trajectory(init_state_dict, audio, video, labels,
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("encoder_type", ["lstm", "gru"])
+@_pytest.mark.parametrize(
+    "encoder_type", ["lstm", "gru", "cnn", "transformer"]
+)
 def test_training_trajectory_matches_torch(encoder_type):
     ref_encoders = _import_reference_encoders()
     torch_model = _build_reference_model(ref_encoders, encoder_type)
