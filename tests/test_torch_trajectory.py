@@ -160,8 +160,18 @@ def _synthetic_batches():
     return audio, video, labels
 
 
-def _torch_trajectory(model, audio, video, labels):
+def _torch_trajectory(model, audio, video, labels, scheduler=None,
+                      steps_per_epoch=10):
+    """scheduler: None | 'cosine' | 'step' — stepped once per 'epoch'
+    (every steps_per_epoch optimizer steps), mirroring Lightning's
+    interval='epoch' wiring (ref train.py:253-278)."""
     opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=WD)
+    sched = None
+    if scheduler == "cosine":
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+            opt, T_max=STEPS // steps_per_epoch, eta_min=LR / 100)
+    elif scheduler == "step":
+        sched = torch.optim.lr_scheduler.StepLR(opt, step_size=2, gamma=0.1)
     criterion = torch.nn.CrossEntropyLoss()
     model.train()
     losses = []
@@ -178,21 +188,28 @@ def _torch_trajectory(model, audio, video, labels):
         # the optimizer step (ref train.py:540, configs/base.yaml:55)
         torch.nn.utils.clip_grad_norm_(model.parameters(), CLIP)
         opt.step()
+        if sched is not None and (s + 1) % steps_per_epoch == 0:
+            sched.step()
         losses.append(float(loss.detach()))
     return np.asarray(losses)
 
 
 def _ours_trajectory(init_state_dict, audio, video, labels,
-                     encoder_type="lstm"):
+                     encoder_type="lstm", scheduler="none",
+                     steps_per_epoch=10):
     model = _build_our_model(encoder_type)
     cfg = TrainingConfig(
         optimizer="adamw",
         learning_rate=LR,
         weight_decay=WD,
-        scheduler="none",
+        scheduler=scheduler,
+        max_epochs=STEPS // steps_per_epoch,
+        scheduler_step_size=2,
         gradient_clip_norm=CLIP,
     )
-    tx, _ = build_optimizer(cfg, steps_per_epoch=STEPS)
+    tx, _ = build_optimizer(
+        cfg, steps_per_epoch=steps_per_epoch if scheduler != "none" else STEPS
+    )
     sample = {
         "audio": jnp.asarray(audio[0]),
         "video": jnp.asarray(video[0]),
@@ -221,6 +238,30 @@ def _ours_trajectory(init_state_dict, audio, video, labels,
 
 
 import pytest as _pytest
+
+
+@_pytest.mark.parametrize("scheduler", ["cosine", "step"])
+def test_training_trajectory_matches_torch_with_scheduler(scheduler):
+    """Same 50-step parity with the reference's per-epoch LR schedulers
+    active (CosineAnnealingLR T_max=max_epochs eta_min=lr/100; StepLR
+    gamma=0.1 — ref train.py:253-278), 'epoch' = 10 steps here."""
+    ref_encoders = _import_reference_encoders()
+    torch_model = _build_reference_model(ref_encoders, "lstm")
+    audio, video, labels = _synthetic_batches()
+
+    import copy
+
+    init_sd = copy.deepcopy(torch_model.state_dict())
+    torch_losses = _torch_trajectory(torch_model, audio, video, labels,
+                                     scheduler=scheduler)
+    our_losses = _ours_trajectory(init_sd, audio, video, labels,
+                                  scheduler=scheduler)
+    rel = np.abs(our_losses - torch_losses) / np.abs(torch_losses)
+    assert rel[0] < 1e-6, f"initial forward diverges: rel {rel[0]:.2e}"
+    assert rel.max() < 2e-3, (
+        f"trajectory diverged under {scheduler}: max rel {rel.max():.2e} "
+        f"at step {int(rel.argmax())}"
+    )
 
 
 @_pytest.mark.parametrize(
