@@ -66,6 +66,10 @@ class DatasetConfig:
     # If true, keep the full split resident in device HBM and gather batches
     # inside the jitted step (TPU-native path). Set false to stream from host.
     device_resident: bool = True
+    # Memory-map on-disk .npy splits instead of reading into host RAM.
+    # With parallel.shard_data_rows only each shard's rows are paged in,
+    # so the split may exceed host RAM (pod-scale loading path).
+    mmap: bool = False
 
 
 @dataclass

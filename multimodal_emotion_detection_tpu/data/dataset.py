@@ -53,22 +53,35 @@ class MultimodalArrays:
 
 
 class ArrayDataset:
-    """Loads the ``<data_dir>/<split>/{modality}.npy`` layout from disk."""
+    """Loads the ``<data_dir>/<split>/{modality}.npy`` layout from disk.
 
-    def __init__(self, data_dir: str | Path, modalities: List[str], split: str):
+    ``mmap=True`` memory-maps the files instead of reading them into host
+    RAM (no-copy when the ETL wrote the canonical float32/int32 dtypes).
+    Combined with row-sharded placement (``parallel.shard_data_rows``,
+    parallel/data.py), only each device shard's rows are ever paged in —
+    the split can exceed host RAM.
+    """
+
+    def __init__(self, data_dir: str | Path, modalities: List[str],
+                 split: str, mmap: bool = False):
         self.data_dir = Path(data_dir)
         self.split = split
         split_dir = self.data_dir / split
+        mode = "r" if mmap else None
         features = {}
         for modality in modalities:
             path = split_dir / f"{modality}.npy"
             if not path.exists():
                 raise FileNotFoundError(f"Modality file not found: {path}")
-            features[modality] = np.load(path).astype(np.float32)
+            arr = np.load(path, mmap_mode=mode)
+            features[modality] = (
+                arr if mmap and arr.dtype == np.float32
+                else np.asarray(arr).astype(np.float32, copy=False)
+            )
         labels_path = split_dir / "labels.npy"
         if not labels_path.exists():
             raise FileNotFoundError(f"Labels file not found: {labels_path}")
-        labels = np.load(labels_path).astype(np.int32)
+        labels = np.asarray(np.load(labels_path)).astype(np.int32, copy=False)
         self.arrays = MultimodalArrays(features, labels, list(modalities))
 
     def __len__(self) -> int:

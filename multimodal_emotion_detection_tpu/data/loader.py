@@ -198,8 +198,9 @@ def create_dataloaders(
             ),
         }
     else:
+        mmap = bool(kwargs.get("mmap", False))
         splits = {
-            split: ArrayDataset(data_dir, modalities, split).arrays
+            split: ArrayDataset(data_dir, modalities, split, mmap=mmap).arrays
             for split in ("train", "val", "test")
         }
 

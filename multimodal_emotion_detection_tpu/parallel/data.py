@@ -50,13 +50,6 @@ def rows_per_shard(n_rows: int, data_size: int) -> int:
     return math.ceil(n_rows / data_size)
 
 
-def _wrap_pad(arr: np.ndarray, n_padded: int) -> np.ndarray:
-    if arr.shape[0] == n_padded:
-        return arr
-    idx = np.resize(np.arange(arr.shape[0]), n_padded)
-    return arr[idx]
-
-
 def place_row_sharded(
     features: Dict[str, np.ndarray],
     labels: np.ndarray,
@@ -66,8 +59,19 @@ def place_row_sharded(
 
     Rows are wrap-padded to ``rows_per * data_size`` (the per-shard valid
     counts from :func:`shard_local_epoch_indices` mask the padding out of
-    every loss/metric).  Multi-process runtimes hand each process only
-    its local block.
+    every loss/metric).
+
+    Construction is per-device-block: for each device this process
+    addresses, only THAT shard's rows are materialized (fancy-indexing an
+    ``np.memmap``-backed split reads just those pages off disk) and placed
+    directly; the global array is assembled with
+    ``jax.make_array_from_single_device_arrays``.  Consequences:
+
+    * host RAM never holds the full (padded) split — peak host cost is
+      one shard block at a time (pair with ``dataset.mmap=true``);
+    * on a multi-process runtime each process touches only the row range
+      its addressable devices own — the pod-scale loading path
+      (SURVEY.md §5 'Distributed'), with no code fork vs single process.
     """
     data_size = mesh.shape[DATA_AXIS]
     n_real = labels.shape[0]
@@ -75,16 +79,23 @@ def place_row_sharded(
     sharding = split_row_sharding(mesh)
 
     def place(arr):
-        arr = _wrap_pad(np.asarray(arr), n_padded)
-        if jax.process_count() > 1:
-            # each process contributes only the rows of its addressable
-            # shards; arr here would be a per-process view in a real
-            # multi-host loader (this line is the pod path)
-            return jax.make_array_from_process_local_data(sharding, arr)
-        return jax.device_put(arr, sharding)
+        arr = np.asarray(arr) if not isinstance(arr, np.memmap) else arr
+        global_shape = (n_padded,) + arr.shape[1:]
+        blocks = []
+        for dev, idxs in sharding.addressable_devices_indices_map(
+            global_shape
+        ).items():
+            row_sl = idxs[0]
+            start = 0 if row_sl.start is None else row_sl.start
+            stop = global_shape[0] if row_sl.stop is None else row_sl.stop
+            rows = np.arange(start, stop) % n_real  # wrap-pad
+            blocks.append(jax.device_put(arr[rows], dev))
+        return jax.make_array_from_single_device_arrays(
+            global_shape, sharding, blocks
+        )
 
     placed = {m: place(a) for m, a in features.items()}
-    return placed, place(labels.astype(np.int32))
+    return placed, place(np.asarray(labels).astype(np.int32, copy=False))
 
 
 def shard_local_epoch_indices(

@@ -91,6 +91,7 @@ def run(config: Config, overrides=None, resume: bool = False) -> dict:
         modality_dim=config.dataset.modality_dim,
         sequence_length=config.dataset.sequence_length,
         num_classes=config.dataset.num_classes,
+        mmap=config.dataset.mmap,
     )
     print(f"Train batches: {len(train_loader)}")
     print(f"Val batches: {len(val_loader)}")

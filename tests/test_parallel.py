@@ -508,6 +508,41 @@ def test_shard_local_epoch_indices_cover_and_mask():
     assert not np.array_equal(idx, idx3)  # reshuffles across epochs
 
 
+def test_place_row_sharded_block_construction(tmp_path):
+    """Per-device-block placement (only each shard's rows materialized,
+    mmap-friendly) assembles exactly the wrap-padded global split — and
+    works straight off an ``ArrayDataset(mmap=True)`` memmap."""
+    from multimodal_emotion_detection_tpu.data.dataset import ArrayDataset
+    from multimodal_emotion_detection_tpu.parallel.data import (
+        place_row_sharded,
+        rows_per_shard,
+    )
+    from multimodal_emotion_detection_tpu.parallel.mesh import make_mesh
+
+    n_real, data_size = 13, 4
+    rng = np.random.RandomState(0)
+    feats = rng.randn(n_real, 5, 3).astype(np.float32)
+    labels = rng.randint(0, 4, n_real).astype(np.int32)
+    split_dir = tmp_path / "train"
+    split_dir.mkdir(parents=True)
+    np.save(split_dir / "m1.npy", feats)
+    np.save(split_dir / "labels.npy", labels)
+
+    ds = ArrayDataset(tmp_path, ["m1"], "train", mmap=True)
+    assert isinstance(ds.arrays.features["m1"], np.memmap)
+
+    mesh = make_mesh(data_parallel=data_size, model_parallel=1)
+    placed, placed_labels = place_row_sharded(
+        ds.arrays.features, ds.arrays.labels, mesh
+    )
+    n_padded = rows_per_shard(n_real, data_size) * data_size
+    wrap = np.arange(n_padded) % n_real
+    np.testing.assert_array_equal(np.asarray(placed["m1"]), feats[wrap])
+    np.testing.assert_array_equal(np.asarray(placed_labels), labels[wrap])
+    # rows land sharded over 'data'
+    assert len(placed["m1"].sharding.device_set) == data_size
+
+
 def test_row_sharded_step_matches_replicated_shardmap():
     """Row-sharded split + LOCAL indices == replicated split + the
     equivalent GLOBAL indices, bitwise (same per-device rows and keys)."""
