@@ -1,0 +1,113 @@
+"""r2u: retune the kernel batch gate under the epoch-scan driver.
+
+r2c banked the kernels-vs-XLA crossover (kernels win at b<=32) under
+PER-STEP dispatch; the scan driver changes the denominator.  r2t then
+showed a throughput VALLEY at b64-b256 f32 (12.9-14.3k vs 18.7k at b32):
+above the gate the XLA scans serialize wider matmuls.  Here: flagship
+step at b64 / b128 with _AUTO_MAX_BATCH raised so the batch-tiled Pallas
+kernels engage, vs the banked gated-off numbers, all under scan.
+Gradient parity at b64 is asserted before timing.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+OUT = Path(__file__).parent / "r2u_tpu.json"
+RESULTS: dict = {}
+
+
+def flush(key, value):
+    RESULTS[key] = value
+    OUT.write_text(json.dumps(RESULTS, indent=2))
+    print(f"[flush] {key}: {json.dumps(value)[:200]}")
+
+
+def watchdog(seconds=3300):
+    import signal
+
+    def on_alarm(signum, frame):
+        flush("watchdog", f"unresponsive for {seconds}s")
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+
+
+def main():
+    watchdog()
+    from multimodal_emotion_detection_tpu.utils.runtime import setup_jax
+
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+
+    import multimodal_emotion_detection_tpu.ops.lstm_kernel as lk
+    from multimodal_emotion_detection_tpu.ops.lstm_vjp import fused_lstm_final
+
+    flush("platform", jax.default_backend())
+
+    # ---- parity at b64 with the gate raised ------------------------------
+    lk._AUTO_MAX_BATCH = 256
+    b, t, d, h = 64, 375, 64, 256
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (b, t, d))
+    keep = jnp.ones((b, t, 1, h), jnp.float32)
+    params = tuple(
+        {"w_ih": 0.2 * jax.random.normal(ks[2 + 2 * i], (d if i == 0 else h,
+                                                         4 * h)),
+         "w_hh": 0.2 * jax.random.normal(ks[3 + 2 * i], (h, 4 * h)),
+         "b": jnp.full((4 * h,), 0.02)}
+        for i in range(2)
+    )
+
+    def loss(x, keep, params):
+        hf = fused_lstm_final(x, keep, params)
+        return jnp.sum(hf * jnp.sin(hf))
+
+    g_on = jax.tree_util.tree_map(
+        np.asarray, jax.jit(jax.grad(loss, argnums=(0, 2)))(x, keep, params))
+    lk._AUTO_MAX_BATCH = 32
+    g_off = jax.tree_util.tree_map(
+        np.asarray,
+        jax.jit(jax.grad(loss, argnums=(0, 2)))(x, keep, params))
+    rels = []
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_on),
+                     jax.tree_util.tree_leaves(g_off)):
+        denom = np.maximum(np.abs(a).max(), 1e-6)
+        rels.append(float(np.abs(a - b_).max() / denom))
+    flush("b64_kernel_parity", {"max_rel": max(rels),
+                                "pass": max(rels) < 1e-4})
+    if max(rels) >= 1e-4:
+        return
+
+    # ---- flagship step A/B at b64 / b128 ---------------------------------
+    from bench import _build, _time_epoch_scan
+
+    for batch in (64, 128):
+        lk._AUTO_MAX_BATCH = 256
+        state, step, feats, labels = _build(
+            "logmel_cached", batch, 256, scan=True)
+        cps_on, _ = _time_epoch_scan(state, step, feats, labels, batch, 256,
+                                     warmup=2, iters=12)
+        lk._AUTO_MAX_BATCH = 32
+        state, step, feats, labels = _build(
+            "logmel_cached", batch, 256, scan=True)
+        cps_off, _ = _time_epoch_scan(state, step, feats, labels, batch, 256,
+                                      warmup=2, iters=12)
+        flush(f"flagship_b{batch}", {
+            "kernels_on": round(cps_on, 1),
+            "kernels_off": round(cps_off, 1),
+            "speedup": round(cps_on / cps_off, 4),
+        })
+
+
+if __name__ == "__main__":
+    main()
