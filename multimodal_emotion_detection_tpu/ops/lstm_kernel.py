@@ -407,14 +407,18 @@ def _pick_tile_b(batch: int) -> int:
     return batch
 
 
-# Measured crossover (v5e, benchmarks/r2c_tpu.json): in-kernel recurrence
-# wins when the step is dispatch/latency-bound (batch 32: +13% bwd, +10%
-# fwd) and LOSES once per-step matmuls are big enough to saturate the MXU
-# and the sequential grid serializes tiles (batch 256 bf16: 10.2k vs
-# 14.0k clips/s).  Auto mode therefore engages only at batch <= 32 (one
-# tile, no grid); the tiled path stays correct (exact parity at B=256)
-# for explicit use and future tuning.
+# Measured crossovers.  Round 2 (per-step dispatch, r2c_tpu.json): the
+# kernels won only at batch <= 32.  Under the epoch-scan driver the
+# picture changed (r2u_tpu.json + /tmp/r2u9): for f32 compute the tiled
+# kernels win at EVERY measured batch (b64 +36%, b128 +27%, b256 +19%
+# over the XLA scans), so the f32 cap is 256 (tested envelope).  With
+# bf16 compute the XLA scans ride 2x-rate bf16 MXU passes while the
+# kernels accumulate in f32 — there the scans win at large batch (b256
+# bf16: 10.2k vs 14.0k, r2c) and the cap stays 32 (where the kernel
+# measured no slower).  The LSTM train gates pick the cap from the
+# input dtype; GRU/inference gates keep the conservative 32.
 _AUTO_MAX_BATCH = 32
+_AUTO_MAX_BATCH_F32 = 256
 
 # HBM-streaming chunk lengths.  Tuned on v5e at B=32/T=375/H=256: the
 # ISOLATED bwd chain prefers 16 (1.19 vs 1.65 ms, r2i_tpu.json) but the
@@ -435,10 +439,12 @@ BWD2_UNROLL = False
 
 def bwd_kernel_supported(batch: int, t_len: int, h_dim: int,
                          chunk: int = None,
-                         allow_large: bool = False) -> bool:
+                         allow_large: bool = False,
+                         f32_large: bool = False) -> bool:
     """VMEM feasibility + layout constraints for the backward kernel."""
     chunk = BWD_CHUNK if chunk is None else chunk
-    if batch > _AUTO_MAX_BATCH and not allow_large:
+    cap = _AUTO_MAX_BATCH_F32 if f32_large else _AUTO_MAX_BATCH
+    if batch > cap and not allow_large:
         return False
     tile = _pick_tile_b(batch)
     if batch % tile != 0 or tile < 8:
@@ -676,9 +682,11 @@ def lstm2_train_fwd_pallas(
 
 def fwd_kernel_supported(batch: int, t_len: int, h_dim: int,
                          n_layers: int, chunk: int = None,
-                         allow_large: bool = False) -> bool:
+                         allow_large: bool = False,
+                         f32_large: bool = False) -> bool:
     chunk = FWD_CHUNK if chunk is None else chunk
-    if batch > _AUTO_MAX_BATCH and not allow_large:
+    cap = _AUTO_MAX_BATCH_F32 if f32_large else _AUTO_MAX_BATCH
+    if batch > cap and not allow_large:
         return False
     tile = _pick_tile_b(batch)
     if n_layers != 2 or batch % tile != 0 or tile < 8:
@@ -1343,10 +1351,12 @@ def lstm2_bwd_chain_pallas(
 
 def bwd2_kernel_supported(batch: int, t_len: int, h_dim: int,
                           chunk: int = None,
-                          allow_large: bool = False) -> bool:
+                          allow_large: bool = False,
+                          f32_large: bool = False) -> bool:
     """VMEM feasibility + layout constraints for the fused backward."""
     chunk = BWD2_CHUNK if chunk is None else chunk
-    if batch > _AUTO_MAX_BATCH and not allow_large:
+    cap = _AUTO_MAX_BATCH_F32 if f32_large else _AUTO_MAX_BATCH
+    if batch > cap and not allow_large:
         return False
     tile = _pick_tile_b(batch)
     if batch % tile != 0 or tile < 8:

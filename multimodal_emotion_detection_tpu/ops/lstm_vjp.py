@@ -132,7 +132,8 @@ def _fwd_kernel_ok(x_tm, params):
     interpret = _FWD_KERNEL_MODE == "interpret"
     on_tpu = jax.default_backend() == "tpu"
     ok = (on_tpu or interpret) and fwd_kernel_supported(
-        batch, t_len, h_dim, len(params), allow_large=interpret
+        batch, t_len, h_dim, len(params), allow_large=interpret,
+        f32_large=x_tm.dtype == jnp.float32,
     )
     return ok, interpret
 
@@ -236,9 +237,12 @@ def _bwd_dgates(res, keep_tm, params, dys, dh_final):
 
         on_tpu = jax.default_backend() == "tpu"
         interpret = _BWD_KERNEL_MODE == "interpret"
+        # residuals off the kernel/scan forward carry the compute dtype
+        f32_large = g0_s.dtype == jnp.float32
         if (on_tpu or interpret) and len(params) == 2 and (
             bwd2_kernel_supported(batch, t_len, h_dim,
-                                  allow_large=interpret)
+                                  allow_large=interpret,
+                                  f32_large=f32_large)
         ):
             return _bwd_fused2_pallas(
                 res, keep_tm, params, dys, dh_final, interpret
@@ -246,7 +250,8 @@ def _bwd_dgates(res, keep_tm, params, dys, dh_final):
         if dys is None:
             dys = jnp.zeros((t_len, batch, h_dim), dh_final.dtype)
         if (on_tpu or interpret) and bwd_kernel_supported(
-            batch, t_len, h_dim, allow_large=interpret
+            batch, t_len, h_dim, allow_large=interpret,
+            f32_large=f32_large,
         ):
             return _bwd_layered_pallas(
                 res, keep_tm, params, dys, dh_final, interpret
