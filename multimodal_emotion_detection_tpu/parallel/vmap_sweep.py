@@ -83,10 +83,14 @@ def make_vmapped_train_step(
     modality_dropout: float,
     clip_norm: float,
     weight_decay: float,
+    scan_epoch: bool = False,
 ) -> Callable:
     """(SweepState, features, labels, idx, valid, key) -> (state, metrics)
 
-    metrics leaves have a leading (G,) member axis.
+    metrics leaves have a leading (G,) member axis.  With ``scan_epoch``
+    the callable takes (S, B) idx/valid matrices and runs all S steps as
+    one ``lax.scan`` dispatch (metrics gain a leading (S,) axis) — the
+    sweep twin of training.steps.make_epoch_train_step.
     """
     core_tx = _adam_core(clip_norm)
 
@@ -137,6 +141,16 @@ def make_vmapped_train_step(
                           opt_state=new_opt),
             metrics,
         )
+
+    if scan_epoch:
+        def epoch_fn(state, features, labels, idx_mat, valid_mat, key):
+            def body(st, xs):
+                idx, valid = xs
+                return step_fn(st, features, labels, idx, valid, key)
+
+            return jax.lax.scan(body, state, (idx_mat, valid_mat))
+
+        return jax.jit(epoch_fn, donate_argnums=(0,))
 
     return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -235,8 +249,9 @@ def _vmapped_lr_sweep(
     state = init_sweep_state(
         model, sample, jnp.ones((b, m), jnp.float32), lrs, clip_norm, seed
     )
-    train_step = make_vmapped_train_step(
-        model, m, modality_dropout, clip_norm, weight_decay
+    train_epoch = make_vmapped_train_step(
+        model, m, modality_dropout, clip_norm, weight_decay,
+        scan_epoch=True,
     )
     eval_step = make_vmapped_eval_step(model, m)
     key = jax.random.PRNGKey(seed)
@@ -246,11 +261,11 @@ def _vmapped_lr_sweep(
     for epoch in range(epochs):
         idx_all = train_loader.epoch_batch_indices(epoch)
         valid_all = train_loader.epoch_batch_valid()
-        for bi in range(idx_all.shape[0]):
-            state, _ = train_step(
-                state, feats, labels,
-                jnp.asarray(idx_all[bi]), jnp.asarray(valid_all[bi]), key,
-            )
+        state, _ = train_epoch(
+            state, feats, labels,
+            jnp.asarray(idx_all, dtype=jnp.int32),
+            jnp.asarray(valid_all, dtype=jnp.float32), key,
+        )
         vidx = val_loader.epoch_batch_indices(0)
         vvalid = val_loader.epoch_batch_valid()
         totals = None
@@ -337,15 +352,16 @@ def _train_ensemble(
         model, sample, jnp.ones((b, m), jnp.float32),
         [learning_rate] * n_members, clip_norm, seed,
     )
-    step = make_vmapped_train_step(
-        model, m, modality_dropout, clip_norm, weight_decay
+    epoch_step = make_vmapped_train_step(
+        model, m, modality_dropout, clip_norm, weight_decay,
+        scan_epoch=True,
     )
     key = jax.random.PRNGKey(seed)
     for epoch in range(epochs):
         idx_all = train_loader.epoch_batch_indices(epoch)
         valid_all = train_loader.epoch_batch_valid()
-        for bi in range(idx_all.shape[0]):
-            state, _ = step(state, feats, labels,
-                            jnp.asarray(idx_all[bi]),
-                            jnp.asarray(valid_all[bi]), key)
+        state, _ = epoch_step(state, feats, labels,
+                              jnp.asarray(idx_all, dtype=jnp.int32),
+                              jnp.asarray(valid_all, dtype=jnp.float32),
+                              key)
     return state.params  # stacked (N, ...) pytree
