@@ -85,12 +85,14 @@ class _FlashSelfAttention(nn.Module):
     qkv_features: int
     dtype: jnp.dtype = jnp.float32
     interpret: bool = False  # tests: run the kernel in interpret mode
+    dropout_rate: float = 0.0  # in-kernel attention-prob dropout (TPU)
 
     @nn.compact
     def __call__(
         self,
         x: jnp.ndarray,  # (B, T, F)
         key_padding_mask: Optional[jnp.ndarray] = None,  # (B, T) True=valid
+        deterministic: bool = True,
     ) -> jnp.ndarray:
         head_dim = self.qkv_features // self.num_heads
         proj = functools.partial(
@@ -107,7 +109,18 @@ class _FlashSelfAttention(nn.Module):
         if key_padding_mask is not None:
             bias = jnp.where(key_padding_mask.astype(bool), 0.0, -1e9)
         interpret = self.interpret or jax.default_backend() != "tpu"
-        out = flash_attention(q, k, v, bias, interpret=interpret)
+        rate, seed = 0.0, None
+        if self.dropout_rate > 0.0 and not deterministic:
+            # fold the flax dropout stream into one int32 kernel seed;
+            # the per-block mask derives from (seed, b, h, iq, ik) inside
+            # the kernel (ops/flash_attention.py:_attn_dropout_mask)
+            rate = self.dropout_rate
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max,
+                dtype=jnp.int32,
+            )
+        out = flash_attention(q, k, v, bias, interpret=interpret,
+                              dropout_rate=rate, dropout_seed=seed)
         out = out.transpose(0, 2, 1, 3)  # (B, T, H, Dh)
         return nn.DenseGeneral(
             features=x.shape[-1], axis=(-2, -1), dtype=self.dtype, name="out"
@@ -132,18 +145,25 @@ class TransformerBlock(nn.Module):
         key_padding_mask: Optional[jnp.ndarray] = None,  # (B, T) True=valid
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        # The flash kernel does not implement attention-probability dropout
-        # (the usual flash trade); when attn dropout would be active, fall
-        # back to the XLA path.  Both paths build the identical "self_attn"
-        # parameter tree, so the routing is checkpoint-transparent.
-        if self.use_flash and (deterministic or self.dropout == 0.0):
+        # Flash runs attention-prob dropout IN-KERNEL on TPU (seeded per
+        # block, regenerated in the backward — no (Tq, Tk) mask in HBM).
+        # The interpret/CPU path has no Pallas PRNG, so active dropout
+        # there falls back to the XLA MHA.  Both paths build the identical
+        # "self_attn" parameter tree, so routing is checkpoint-transparent.
+        dropout_active = not deterministic and self.dropout > 0.0
+        flash_dropout_ok = (
+            jax.default_backend() == "tpu" and not self.flash_interpret
+        )
+        if self.use_flash and (not dropout_active or flash_dropout_ok):
             attn_out = _FlashSelfAttention(
                 num_heads=self.num_heads,
                 qkv_features=self.hidden_dim,
                 dtype=self.dtype,
                 interpret=self.flash_interpret,
+                dropout_rate=self.dropout,
                 name="self_attn",
-            )(x, key_padding_mask=key_padding_mask)
+            )(x, key_padding_mask=key_padding_mask,
+              deterministic=deterministic)
         else:
             attn_mask = None
             if key_padding_mask is not None:

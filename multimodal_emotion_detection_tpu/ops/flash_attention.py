@@ -42,6 +42,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _LANES = 128  # VMEM scratch stat width
 _STAT_LANES = 8  # HBM lse/delta stat width
@@ -79,11 +80,35 @@ def attention_reference(
 # ---------------------------------------------------------------------------
 
 
+def _attn_dropout_mask(seed_ref, rate: float, shape, b, h, iq, ik):
+    """Deterministic per-(batch, head, q-block, k-block) keep mask, scaled
+    by 1/(1-rate).  Seeding the TPU PRNG with the block coordinates makes
+    the mask reproducible across the forward and both backward passes
+    (which visit blocks in different grid orders)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    # Mosaic's prng_set_seed_32 takes at most TWO i32 seeds: fold the
+    # block coordinates into them (int32 wraparound is fine — the fold
+    # only needs to be deterministic and collision-scarce)
+    s1 = seed_ref[0] + jnp.int32(iq) * jnp.int32(2654435761 & 0x7FFFFFFF)
+    s2 = (
+        (jnp.int32(b) * jnp.int32(131071) + jnp.int32(h))
+        * jnp.int32(524287)
+        + jnp.int32(ik)
+    )
+    pltpu.prng_seed(s1, s2)
+    bits = pltpu.prng_random_bits(shape)  # int32
+    # uniform over 2^32: P(bits_u32 < rate * 2^32) = rate -> dropped
+    threshold = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    keep = bits.astype(jnp.uint32) >= threshold
+    return keep.astype(jnp.float32) * (1.0 / (1.0 - rate))
+
+
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, b_ref,  # ins
+    q_ref, k_ref, v_ref, b_ref, seed_ref,  # ins (seed: SMEM (1,) int32)
     o_ref, lse_ref,  # outs
     m_scr, l_scr, acc_scr,  # VMEM scratch, persistent across the kv grid dim
-    *, scale: float, nk: int,
+    *, scale: float, nk: int, dropout_rate: float = 0.0,
 ):
     from jax.experimental import pallas as pl
 
@@ -114,6 +139,14 @@ def _fwd_kernel(
     m_scr[...] = m_next
     l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
     v = v_ref[0, 0]
+    if dropout_rate > 0.0:
+        # torch semantics: softmax -> dropout -> @V.  The normalizer l
+        # comes from the UNdropped probs (softmax happened first); only
+        # the numerator stream is masked+rescaled.
+        p = p * _attn_dropout_mask(
+            seed_ref, dropout_rate, p.shape,
+            pl.program_id(0), pl.program_id(1), pl.program_id(2), ik,
+        )
     acc_scr[...] = acc_scr[...] * alpha + jnp.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
@@ -125,10 +158,10 @@ def _fwd_kernel(
 
 
 def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, delta_ref,  # ins
+    q_ref, k_ref, v_ref, b_ref, seed_ref, do_ref, lse_ref, delta_ref,  # ins
     dq_ref,  # out
     dq_scr,  # scratch
-    *, scale: float, nk: int,
+    *, scale: float, nk: int, dropout_rate: float = 0.0,
 ):
     from jax.experimental import pallas as pl
 
@@ -149,6 +182,14 @@ def _bwd_dq_kernel(
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
+    if dropout_rate > 0.0:
+        # dS = P o (M~ o dP~ - D): same mask as the forward (same seed
+        # coordinates); D = rowsum(dO o O) is dropout-invariant (see
+        # _bwd_kv_major)
+        dp = dp * _attn_dropout_mask(
+            seed_ref, dropout_rate, dp.shape,
+            pl.program_id(0), pl.program_id(1), pl.program_id(2), ik,
+        )
     ds = p * (dp - delta_ref[0, 0][:, :1]) * scale
     dq_scr[...] = dq_scr[...] + jnp.dot(
         ds.astype(k.dtype), k, preferred_element_type=jnp.float32
@@ -160,30 +201,31 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, delta_ref,  # ins
+    q_ref, k_ref, v_ref, b_ref, seed_ref, do_ref, lse_ref, delta_ref,  # ins
     dk_ref, dv_ref,  # outs
     dk_scr, dv_scr,  # scratch
-    *, scale: float, nq: int,
+    *, scale: float, nq: int, dropout_rate: float = 0.0,
 ):
-    _bwd_kv_major(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, delta_ref,
-                  None, dk_ref, dv_ref, dk_scr, dv_scr, scale=scale, nq=nq)
+    _bwd_kv_major(q_ref, k_ref, v_ref, b_ref, seed_ref, do_ref, lse_ref,
+                  delta_ref, None, dk_ref, dv_ref, dk_scr, dv_scr,
+                  scale=scale, nq=nq, dropout_rate=dropout_rate)
 
 
 def _bwd_fused_kernel(
-    q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, delta_ref,  # ins
+    q_ref, k_ref, v_ref, b_ref, seed_ref, do_ref, lse_ref, delta_ref,  # ins
     dqp_ref, dk_ref, dv_ref,  # outs (dqp: per-kv-block dQ partials)
     dk_scr, dv_scr,  # scratch
-    *, scale: float, nq: int,
+    *, scale: float, nq: int, dropout_rate: float = 0.0,
 ):
-    _bwd_kv_major(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, delta_ref,
-                  dqp_ref, dk_ref, dv_ref, dk_scr, dv_scr, scale=scale,
-                  nq=nq)
+    _bwd_kv_major(q_ref, k_ref, v_ref, b_ref, seed_ref, do_ref, lse_ref,
+                  delta_ref, dqp_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                  scale=scale, nq=nq, dropout_rate=dropout_rate)
 
 
 def _bwd_kv_major(
-    q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, b_ref, seed_ref, do_ref, lse_ref, delta_ref,
     dqp_ref, dk_ref, dv_ref, dk_scr, dv_scr,
-    *, scale: float, nq: int,
+    *, scale: float, nq: int, dropout_rate: float = 0.0,
 ):
     """KV-major backward: grid (B, H, nk, nq).  Recomputes (s, p, ds) once
     per (kv, q) block pair; always accumulates dK/dV across the q-minor
@@ -209,14 +251,33 @@ def _bwd_kv_major(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale + b_ref[0].astype(jnp.float32)
     p = jnp.exp(s - lse_ref[0, 0][:, :1])  # (bq, bk) f32
-    # dV += P^T @ dO ; contract the query dim of both
+    if dropout_rate > 0.0:
+        # kv-major grid is (B, H, nk, nq): program_id(2) is the K block,
+        # program_id(3) the Q block — seed in (b, h, iq, ik) order to
+        # reproduce the forward's mask exactly.
+        # Math: with P~ = P o M~ (M~ = keep/(1-rate)), O = P~ V:
+        #   dV = P~^T dO;  dP~ = dO V^T;  dP = M~ o dP~;
+        #   dS = P o (dP - D) where D = rowsum(dP o P)
+        #       = rowsum(dP~ o P~) = rowsum(dO o O)  -- unchanged.
+        mask = _attn_dropout_mask(
+            seed_ref, dropout_rate, p.shape,
+            pl.program_id(0), pl.program_id(1), pl.program_id(3),
+            pl.program_id(2),
+        )
+        p_drop = p * mask
+    else:
+        mask = None
+        p_drop = p
+    # dV += P~^T @ dO ; contract the query dim of both
     dv_scr[...] = dv_scr[...] + jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if mask is not None:
+        dp = dp * mask
     ds = p * (dp - delta_ref[0, 0][:, :1]) * scale  # (bq, bk)
     # dK += dS^T @ Q
     dk_scr[...] = dk_scr[...] + jax.lax.dot_general(
@@ -262,7 +323,15 @@ def _specs(block_q, block_k, d, kv_minor):
     return q_spec, kv_spec, bias_spec, row_spec
 
 
-def _flash_fwd_call(q, k, v, bias, block_q, block_k, scale, interpret):
+def _seed_spec():
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _flash_fwd_call(q, k, v, bias, seed, block_q, block_k, scale, interpret,
+                    dropout_rate=0.0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -271,9 +340,10 @@ def _flash_fwd_call(q, k, v, bias, block_q, block_k, scale, interpret):
     nq, nk = tq // block_q, tk // block_k
     q_spec, kv_spec, bias_spec, row_spec = _specs(block_q, block_k, d, True)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, nk=nk),
+        functools.partial(_fwd_kernel, scale=scale, nk=nk,
+                          dropout_rate=dropout_rate),
         grid=(batch, heads, nq, nk),
-        in_specs=[q_spec, kv_spec, kv_spec, bias_spec],
+        in_specs=[q_spec, kv_spec, kv_spec, bias_spec, _seed_spec()],
         out_specs=[q_spec, row_spec],
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -290,7 +360,7 @@ def _flash_fwd_call(q, k, v, bias, block_q, block_k, scale, interpret):
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, bias)
+    )(q, k, v, bias, seed)
     return out, lse
 
 
@@ -300,8 +370,8 @@ def _flash_fwd_call(q, k, v, bias, block_q, block_k, scale, interpret):
 _FUSE_MAX_NK = 8
 
 
-def _flash_bwd_call(q, k, v, bias, do, lse, delta, block_q, block_k, scale,
-                    interpret):
+def _flash_bwd_call(q, k, v, bias, seed, do, lse, delta, block_q, block_k,
+                    scale, interpret, dropout_rate=0.0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -316,8 +386,8 @@ def _flash_bwd_call(q, k, v, bias, do, lse, delta, block_q, block_k, scale,
         pltpu.VMEM((block_k, d), jnp.float32),
     ]
     q_spec, kv_spec, bias_spec, row_spec = _specs(block_q, block_k, d, False)
-    in_specs = [q_spec, kv_spec, kv_spec, bias_spec, q_spec, row_spec,
-                row_spec]
+    in_specs = [q_spec, kv_spec, kv_spec, bias_spec, _seed_spec(), q_spec,
+                row_spec, row_spec]
 
     if nk <= _FUSE_MAX_NK:
         # one recompute pass: dK/dV accumulate in scratch, dQ partials land
@@ -326,7 +396,8 @@ def _flash_bwd_call(q, k, v, bias, do, lse, delta, block_q, block_k, scale,
             (1, 1, 1, block_q, d), lambda b, h, i, j: (i, b, h, j, 0)
         )
         dqp, dk, dv = pl.pallas_call(
-            functools.partial(_bwd_fused_kernel, scale=scale, nq=nq),
+            functools.partial(_bwd_fused_kernel, scale=scale, nq=nq,
+                              dropout_rate=dropout_rate),
             grid=(batch, heads, nk, nq),
             in_specs=in_specs,
             out_specs=[dqp_spec, kv_spec, kv_spec],
@@ -338,11 +409,12 @@ def _flash_bwd_call(q, k, v, bias, do, lse, delta, block_q, block_k, scale,
             scratch_shapes=kv_scratch,
             compiler_params=sem,
             interpret=interpret,
-        )(q, k, v, bias, do, lse, delta)
+        )(q, k, v, bias, seed, do, lse, delta)
         return dqp.sum(axis=0).astype(q.dtype), dk, dv
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq),
+        functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq,
+                          dropout_rate=dropout_rate),
         grid=(batch, heads, nk, nq),
         in_specs=in_specs,
         out_specs=[kv_spec, kv_spec],
@@ -353,20 +425,21 @@ def _flash_bwd_call(q, k, v, bias, do, lse, delta, block_q, block_k, scale,
         scratch_shapes=kv_scratch,
         compiler_params=sem,
         interpret=interpret,
-    )(q, k, v, bias, do, lse, delta)
+    )(q, k, v, bias, seed, do, lse, delta)
 
     q_spec, kv_spec, bias_spec, row_spec = _specs(block_q, block_k, d, True)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, nk=nk),
+        functools.partial(_bwd_dq_kernel, scale=scale, nk=nk,
+                          dropout_rate=dropout_rate),
         grid=(batch, heads, nq, nk),
-        in_specs=[q_spec, kv_spec, kv_spec, bias_spec, q_spec, row_spec,
-                  row_spec],
+        in_specs=[q_spec, kv_spec, kv_spec, bias_spec, _seed_spec(), q_spec,
+                  row_spec, row_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=sem,
         interpret=interpret,
-    )(q, k, v, bias, do, lse, delta)
+    )(q, k, v, bias, seed, do, lse, delta)
     return dq, dk, dv
 
 
@@ -375,29 +448,35 @@ def _flash_bwd_call(q, k, v, bias, do, lse, delta, block_q, block_k, scale,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_aligned(q, k, v, bias, block_q, block_k, scale, interpret):
-    out, _ = _flash_fwd_call(q, k, v, bias, block_q, block_k, scale,
-                             interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_aligned(q, k, v, bias, seed, block_q, block_k, scale, interpret,
+                   dropout_rate):
+    out, _ = _flash_fwd_call(q, k, v, bias, seed, block_q, block_k, scale,
+                             interpret, dropout_rate)
     return out
 
 
-def _flash_aligned_fwd(q, k, v, bias, block_q, block_k, scale, interpret):
-    out, lse = _flash_fwd_call(q, k, v, bias, block_q, block_k, scale,
-                               interpret)
-    return out, (q, k, v, bias, out, lse)
+def _flash_aligned_fwd(q, k, v, bias, seed, block_q, block_k, scale,
+                       interpret, dropout_rate):
+    out, lse = _flash_fwd_call(q, k, v, bias, seed, block_q, block_k, scale,
+                               interpret, dropout_rate)
+    return out, (q, k, v, bias, seed, out, lse)
 
 
-def _flash_aligned_bwd(block_q, block_k, scale, interpret, res, do):
-    q, k, v, bias, out, lse = res
+def _flash_aligned_bwd(block_q, block_k, scale, interpret, dropout_rate,
+                       res, do):
+    q, k, v, bias, seed, out, lse = res
     delta = jnp.sum(
         do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
         keepdims=True,
     )
     delta = jnp.broadcast_to(delta, delta.shape[:-1] + (_STAT_LANES,))
-    dq, dk, dv = _flash_bwd_call(q, k, v, bias, do, lse, delta,
-                                 block_q, block_k, scale, interpret)
-    return dq, dk, dv, jnp.zeros_like(bias)
+    dq, dk, dv = _flash_bwd_call(q, k, v, bias, seed, do, lse, delta,
+                                 block_q, block_k, scale, interpret,
+                                 dropout_rate)
+    # int32 seed: tangent space is float0
+    dseed = np.empty(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, jnp.zeros_like(bias), dseed
 
 
 _flash_aligned.defvjp(_flash_aligned_fwd, _flash_aligned_bwd)
@@ -417,6 +496,8 @@ def flash_attention(
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,  # int32 scalar/(1,)
 ) -> jnp.ndarray:
     """Differentiable flash self/cross attention; O(T) HBM, scores in VMEM.
 
@@ -430,6 +511,15 @@ def flash_attention(
     Default 512-blocks: at the flagship shape (T=375) the whole sequence is
     a single block, so the grid is (B, H) with no online-softmax overhead;
     long sequences stream in 512-key chunks (s block = 1 MB VMEM).
+
+    ``dropout_rate``/``dropout_seed`` apply torch-semantics attention
+    dropout (softmax -> mask+rescale -> @V; ref encoders.py:102-107's
+    TransformerEncoderLayer) INSIDE the kernel: the keep mask is generated
+    by the TPU PRNG seeded with (seed, batch, head, q-block, k-block), so
+    the backward regenerates it exactly without materializing (Tq, Tk)
+    masks in HBM.  TPU-only (the interpret path has no PRNG primitive);
+    the RNG stream differs from flax's threefry by design — dropout is
+    i.i.d. noise, not a numerics contract.
     """
     batch, heads, tq, d = q.shape
     tk = k.shape[2]
@@ -450,6 +540,21 @@ def flash_attention(
     bias = jax.lax.stop_gradient(bias)
     scale = float(1.0 / (d ** 0.5))
 
+    dropout_rate = float(dropout_rate)
+    if not 0.0 <= dropout_rate < 1.0:
+        raise ValueError(f"dropout_rate {dropout_rate} not in [0, 1)")
+    if dropout_rate > 0.0:
+        if dropout_seed is None:
+            raise ValueError("dropout_rate > 0 requires dropout_seed")
+        if interpret:
+            raise NotImplementedError(
+                "flash attention dropout needs the TPU PRNG; interpret "
+                "mode has no lowering for it (use the XLA path on CPU)"
+            )
+        seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+
     # A sequence that fits in one block uses an exact-T block (block ==
     # full array dim is a legal Mosaic layout at any size): no padding, no
     # pad/slice HBM copies — measured fastest end-to-end of the
@@ -468,5 +573,6 @@ def flash_attention(
     bp = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, pad_k)),
                  constant_values=_MASKED)[:, None, :]
 
-    out = _flash_aligned(qp, kp, vp, bp, block_q, block_k, scale, interpret)
+    out = _flash_aligned(qp, kp, vp, bp, seed, block_q, block_k, scale,
+                         interpret, dropout_rate)
     return out[:, :, :tq, :]

@@ -290,6 +290,48 @@ def test_transformer_flash_trains():
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
 
 
+def test_flash_attention_dropout_arg_validation():
+    """Dropout needs a seed, a sane rate, and the TPU PRNG (not interpret)."""
+    from multimodal_emotion_detection_tpu.ops.flash_attention import (
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((1, 1, 16, 8)), jnp.float32)
+    with pytest.raises(ValueError, match="requires dropout_seed"):
+        flash_attention(q, q, q, dropout_rate=0.1)
+    with pytest.raises(ValueError, match="not in"):
+        flash_attention(q, q, q, dropout_rate=1.5)
+    with pytest.raises(NotImplementedError, match="TPU PRNG"):
+        flash_attention(q, q, q, dropout_rate=0.1,
+                        dropout_seed=jnp.asarray([1], jnp.int32),
+                        interpret=True)
+
+
+def test_transformer_flash_dropout_falls_back_on_cpu():
+    """use_flash + active attention dropout trains on CPU via the XLA MHA
+    fallback (the in-kernel PRNG is TPU-only)."""
+    from multimodal_emotion_detection_tpu.models.encoders import (
+        SequenceEncoder,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 40, 16)), jnp.float32)
+    enc = SequenceEncoder(input_dim=16, hidden_dim=32, output_dim=8,
+                          num_layers=1, encoder_type="transformer",
+                          dropout=0.2, use_flash=True, flash_interpret=True)
+    params = enc.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.sum(enc.apply(p, x, deterministic=False,
+                                 rngs={"dropout": jax.random.PRNGKey(1)}) ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
 def test_flash_attention_two_pass_backward_route():
     """nk > _FUSE_MAX_NK falls back to the separate-dQ backward; grads must
     match the reference on that route too."""
