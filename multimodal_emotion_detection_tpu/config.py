@@ -217,6 +217,11 @@ class RuntimeConfig:
     # sharding-preserving, restore-reshard capable — msgpack otherwise) |
     # 'msgpack' | 'orbax'
     checkpoint_backend: str = "auto"
+    # PRNG implementation for all jax.random streams: 'threefry2x32'
+    # (default; reproducible against recorded trajectories) | 'rbg'
+    # (hardware generator; +24% on the dropout-heavy transformer step,
+    # benchmarks/r2x note in docs/KERNELS.md)
+    prng_impl: str = "threefry2x32"
     # Drive each epoch's train steps as ONE lax.scan dispatch when the
     # split is device-resident ('auto'/'on'; 'off' = per-step dispatch).
     # Removes per-step host dispatch latency (measured 1.63x on the
