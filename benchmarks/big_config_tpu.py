@@ -74,6 +74,66 @@ def main():
 
     measure("big_logmel_clips_per_sec", "logmel")
     measure("big_raw48k_clips_per_sec", "raw")
+
+    # session-3 point: cached frontend + epoch-scan driver (the Trainer
+    # defaults), same big model
+    try:
+        from multimodal_emotion_detection_tpu.models.classifier import (
+            logmel_params_from_config,
+        )
+        from multimodal_emotion_detection_tpu.ops.logmel import (
+            log_mel_spectrogram,
+        )
+        from multimodal_emotion_detection_tpu.training.steps import (
+            make_epoch_train_step,
+        )
+
+        cfg = Config()
+        apply_overrides(cfg, [
+            f"dataset.batch_size={batch}",
+            "model.output_dim=256",
+            "model.hidden_dim=512",
+            "model.encoders.audio.hidden_dim=512",
+            "model.encoders.audio.output_dim=256",
+            "model.encoders.audio.num_layers=3",
+            "model.encoders.video.hidden_dim=512",
+            "model.encoders.video.output_dim=256",
+            "model.encoders.video.input_dim=4096",
+        ])
+        cfg.model.frontend.audio = "logmel"
+        cfg.model.frontend.cache = True
+        model = classifier_from_config(cfg)
+        lp = logmel_params_from_config(cfg.model.frontend)
+        feats_c = dict(feats)
+        feats_c["audio"] = jax.jit(
+            lambda w: log_mel_spectrogram(w, lp, use_pallas=True)
+        )(feats["audio"])
+        tx, _ = build_optimizer(cfg.training, steps_per_epoch=36)
+        sample = {m: a[:batch] for m, a in feats_c.items()}
+        state = create_train_state(model, tx, sample,
+                                   jnp.ones((batch, 2), jnp.float32),
+                                   jax.random.PRNGKey(0))
+        estep = make_epoch_train_step(
+            model, tx, num_modalities=2, modality_dropout=0.1,
+            has_batch_stats=bool(state.model_state))
+        S = 8
+        idx_mat = jnp.asarray(
+            (np.arange(S * batch).reshape(S, batch)) % n_rows, jnp.int32)
+        valid_mat = jnp.ones((S, batch), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        state, m = estep(state, feats_c, labels, idx_mat, valid_mat, key)
+        float(m["loss"][-1])
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = estep(state, feats_c, labels, idx_mat, valid_mat, key)
+        float(m["loss"][-1])
+        RESULTS["big_cached_scan_clips_per_sec"] = round(
+            S * batch * iters / (time.perf_counter() - t0), 1)
+    except Exception as exc:  # noqa: BLE001
+        RESULTS["big_cached_scan_clips_per_sec"] = (
+            f"{type(exc).__name__}: {exc}"[:200])
+    OUT.write_text(json.dumps(RESULTS, indent=2))
     print(json.dumps(RESULTS, indent=2))
 
 
