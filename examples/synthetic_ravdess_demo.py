@@ -64,6 +64,8 @@ def main():
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--epochs", type=int, default=15)
     parser.add_argument("--workdir", default=None)
+    parser.add_argument("--extra", nargs="*", default=[],
+                        help="additional key.path=value config overrides")
     args = parser.parse_args()
 
     work = Path(args.workdir or tempfile.mkdtemp(prefix="ravdess_demo_"))
@@ -103,6 +105,7 @@ def main():
     ]
     if args.cpu:
         overrides.append("runtime.platform=cpu")
+    overrides.extend(args.extra)
     results = train_run(load_config(None, overrides))
     print("train results:", json.dumps(
         {k: round(float(v), 4) for k, v in results.items()
