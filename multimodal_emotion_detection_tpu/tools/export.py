@@ -88,7 +88,13 @@ def export_model(
 
     err = float(np.abs(np.asarray(ref) - np.asarray(got)).max())
     print(f"Round-trip check: max |Δlogits| = {err:.2e}")
-    assert err < 1e-5, "exported model diverges from the live model"
+    # The deserialized program is re-compiled; under bf16 compute the new
+    # fusion/tiling choices round differently (same spread family as
+    # docs/KERNELS.md's numerics note), so the gate scales with dtype.
+    tol = 1e-5 if config.runtime.compute_dtype == "float32" else 5e-2
+    assert err < tol, (
+        f"exported model diverges from the live model ({err:.2e} >= {tol})"
+    )
     return out
 
 
