@@ -246,9 +246,11 @@ def main():
     # + rbg hardware PRNG (the fast config's runtime.prng_impl)
     try:
         jax.config.update("jax_default_prng_impl", "rbg")
-        peak_cps = run_one("logmel_cached", 256, 256, warmup=2, iters=8,
-                           compute_dtype="bfloat16", epoch_scan=True)
-        jax.config.update("jax_default_prng_impl", "threefry2x32")
+        try:
+            peak_cps = run_one("logmel_cached", 256, 256, warmup=2, iters=8,
+                               compute_dtype="bfloat16", epoch_scan=True)
+        finally:
+            jax.config.update("jax_default_prng_impl", "threefry2x32")
     except Exception:
         peak_cps = None
     fast_pallas = _pallas_subprocess(batch)

@@ -132,12 +132,11 @@ def make_sharded_train_step(
         )
 
     if scan_epoch:
-        def run_fn(state, features, labels, idx_mat, valid_mat, key):
-            def body(st, xs):
-                idx, valid = xs
-                return step_fn(st, features, labels, idx, valid, key)
+        from multimodal_emotion_detection_tpu.training.steps import (
+            scan_over_epoch,
+        )
 
-            return jax.lax.scan(body, state, (idx_mat, valid_mat))
+        run_fn = scan_over_epoch(step_fn)
     else:
         run_fn = step_fn
 
@@ -284,12 +283,11 @@ def make_shardmap_dp_train_step(
         )
 
     if scan_epoch:
-        def body_fn(state, features, labels, idx_mat, valid_mat, key):
-            def body(st, xs):
-                idx, valid = xs
-                return per_device(st, features, labels, idx, valid, key)
+        from multimodal_emotion_detection_tpu.training.steps import (
+            scan_over_epoch,
+        )
 
-            return jax.lax.scan(body, state, (idx_mat, valid_mat))
+        body_fn = scan_over_epoch(per_device)
         batch_spec = P(None, "data")
     else:
         body_fn = per_device

@@ -143,14 +143,11 @@ def make_vmapped_train_step(
         )
 
     if scan_epoch:
-        def epoch_fn(state, features, labels, idx_mat, valid_mat, key):
-            def body(st, xs):
-                idx, valid = xs
-                return step_fn(st, features, labels, idx, valid, key)
+        from multimodal_emotion_detection_tpu.training.steps import (
+            scan_over_epoch,
+        )
 
-            return jax.lax.scan(body, state, (idx_mat, valid_mat))
-
-        return jax.jit(epoch_fn, donate_argnums=(0,))
+        return jax.jit(scan_over_epoch(step_fn), donate_argnums=(0,))
 
     return jax.jit(step_fn, donate_argnums=(0,))
 

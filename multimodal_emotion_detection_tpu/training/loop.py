@@ -96,6 +96,13 @@ class Trainer:
         use_mesh = n_devices > 1 or cfg.parallel.model_parallel > 1
 
         strategy = getattr(cfg.parallel, "strategy", "gspmd")
+        epoch_scan = getattr(cfg.runtime, "epoch_scan", "auto")
+        if epoch_scan not in ("auto", "on", "off"):
+            raise ValueError(
+                f"runtime.epoch_scan must be 'auto' | 'on' | 'off', got "
+                f"{epoch_scan!r}"
+            )
+        scan_on = epoch_scan in ("auto", "on")
         kernels = getattr(cfg.runtime, "lstm_kernels", "auto")
         if kernels == "auto" and use_mesh and strategy != "shardmap_dp":
             # GSPMD partitions one global program, which the manual-DMA
@@ -181,9 +188,6 @@ class Trainer:
                     "would all-gather the row-sharded split)"
                 )
             self._row_sharded = cfg.parallel.shard_data_rows
-            scan_on = getattr(cfg.runtime, "epoch_scan", "auto") in (
-                "auto", "on",
-            )
             if strategy == "shardmap_dp":
                 from multimodal_emotion_detection_tpu.parallel.train import (
                     make_shardmap_dp_train_step,
@@ -236,7 +240,7 @@ class Trainer:
             )
             # one-dispatch-per-epoch scan driver (bit-identical per-step
             # trajectory; removes host dispatch from the inner loop)
-            if getattr(cfg.runtime, "epoch_scan", "auto") in ("auto", "on"):
+            if scan_on:
                 self._epoch_step = make_epoch_train_step(
                     self.model,
                     tx,
@@ -251,7 +255,7 @@ class Trainer:
         self._eval_step = make_eval_step(
             self.model, train_loader.arrays.num_modalities
         )
-        if getattr(cfg.runtime, "epoch_scan", "auto") in ("auto", "on"):
+        if scan_on:
             self._epoch_eval_step = make_epoch_eval_step(
                 self.model, train_loader.arrays.num_modalities
             )
@@ -446,6 +450,12 @@ class Trainer:
                     jax.tree_util.tree_map(
                         lambda *xs: jnp.stack(xs), *epoch_metrics
                     )
+                )
+            else:
+                raise RuntimeError(
+                    f"epoch {epoch} produced no batches (split of "
+                    f"{train_loader.num_samples} rows, batch_size "
+                    f"{train_loader.batch_size})"
                 )
             if profile_dir and epoch == min(1, cfg.training.max_epochs - 1):
                 jax.profiler.stop_trace()

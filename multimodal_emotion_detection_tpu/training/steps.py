@@ -168,6 +168,26 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def scan_over_epoch(step_fn: Callable) -> Callable:
+    """Lift a per-batch step into a one-dispatch-per-epoch driver.
+
+    ``step_fn(state, features, labels, idx, valid, key)`` becomes
+    ``epoch_fn(state, features, labels, idx_mat, valid_mat, key)`` that
+    ``lax.scan``s over the (S, B) epoch matrices.  Shared by the plain,
+    GSPMD, shard_map, and vmapped-sweep drivers so the key-folding /
+    carry semantics cannot diverge between them.
+    """
+
+    def epoch_fn(state, features, labels, idx_mat, valid_mat, key):
+        def body(st, xs):
+            idx, valid = xs
+            return step_fn(st, features, labels, idx, valid, key)
+
+        return jax.lax.scan(body, state, (idx_mat, valid_mat))
+
+    return epoch_fn
+
+
 def make_epoch_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -198,15 +218,8 @@ def make_epoch_train_step(
     step_fn = _make_train_step_body(
         model, tx, num_modalities, modality_dropout, has_batch_stats
     )
-
-    def epoch_fn(state, features, labels, idx_mat, valid_mat, key):
-        def body(st, xs):
-            idx, valid = xs
-            return step_fn(st, features, labels, idx, valid, key)
-
-        return jax.lax.scan(body, state, (idx_mat, valid_mat))
-
-    return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
+    return jax.jit(scan_over_epoch(step_fn),
+                   donate_argnums=(0,) if donate else ())
 
 
 def _make_eval_step_body(model, num_modalities: int) -> Callable:

@@ -66,17 +66,28 @@ def import_reference_state_dict(
     state_dict: Dict[str, Any],
     template_params: Dict[str, Any],
     modalities=("audio", "video"),
+    template_batch_stats: Dict[str, Any] | None = None,
 ) -> Dict[str, Any]:
     """Map a reference state_dict onto a template parameter tree.
 
     ``template_params`` is ``model.init(...)['params']`` of a
     MultimodalClassifier built with the matching configuration; returned
     tree has the same structure with imported values.
+
+    Pass ``template_batch_stats`` (``model.init(...)['batch_stats']``)
+    when the model has BatchNorm (cnn/mlp encoders): the reference's
+    running_mean/running_var are then imported too and the call returns
+    ``(params, batch_stats)`` — without them, eval-mode forwards would
+    normalize with the init statistics instead of the trained ones.
     """
     sd = {k: _t(v) for k, v in state_dict.items()}
     params = copy.deepcopy(
         template_params if isinstance(template_params, dict)
         else dict(template_params)
+    )
+    batch_stats = (
+        copy.deepcopy(dict(template_batch_stats))
+        if template_batch_stats is not None else None
     )
 
     def linear(prefix):
@@ -120,6 +131,11 @@ def import_reference_state_dict(
                     "scale": sd[f"{base}.{bn}.weight"],
                     "bias": sd[f"{base}.{bn}.bias"],
                 }
+                if batch_stats is not None and enc_key in batch_stats:
+                    batch_stats[enc_key][bn] = {
+                        "mean": sd[f"{base}.{bn}.running_mean"],
+                        "var": sd[f"{base}.{bn}.running_var"],
+                    }
             enc["projection"] = linear(f"{base}.projection")
 
         elif f"{base}.input_proj.weight" in sd:  # SequenceEncoder transformer
@@ -168,6 +184,8 @@ def import_reference_state_dict(
     if "fusion_head.0.weight" in sd:  # concat head (ref train.py:81-85)
         params["head_in"] = linear("fusion_head.0")
         params["head_out"] = linear("fusion_head.2")
+    if batch_stats is not None:
+        return params, batch_stats
     return params
 
 
@@ -175,7 +193,9 @@ def import_reference_checkpoint(
     ckpt_path: str,
     template_params: Dict[str, Any],
     modalities=("audio", "video"),
+    template_batch_stats: Dict[str, Any] | None = None,
 ) -> Dict[str, Any]:
     return import_reference_state_dict(
-        load_lightning_state_dict(ckpt_path), template_params, modalities
+        load_lightning_state_dict(ckpt_path), template_params, modalities,
+        template_batch_stats=template_batch_stats,
     )

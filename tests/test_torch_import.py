@@ -107,6 +107,69 @@ def test_imported_reference_checkpoint_reproduces_logits():
                                rtol=1e-4, atol=2e-5)
 
 
+def test_import_cnn_batchnorm_running_stats():
+    """A trained cnn encoder's BN running_mean/running_var must transfer:
+    eval-mode logits match torch only if the stats are imported, not the
+    init-time zeros/ones."""
+    import sys
+    import types
+
+    for name in ("torchvision", "torchvision.models"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.path.insert(0, "/root/reference/src")
+    import encoders as ref_encoders
+
+    from multimodal_emotion_detection_tpu.models.encoders import (
+        SequenceEncoder,
+    )
+    from multimodal_emotion_detection_tpu.utils.torch_import import (
+        import_reference_state_dict,
+    )
+
+    torch.manual_seed(0)
+    ref = ref_encoders.SequenceEncoder(
+        input_dim=12, hidden_dim=128, output_dim=16, num_layers=2,
+        encoder_type="cnn", dropout=0.0,
+    )
+    # simulate training: push the running stats away from (0, 1)
+    with torch.no_grad():
+        for bn in (ref.bn1, ref.bn2):
+            bn.running_mean.uniform_(-1.0, 1.0)
+            bn.running_var.uniform_(0.5, 2.0)
+    ref.eval()
+
+    x = np.random.RandomState(1).randn(4, 20, 12).astype(np.float32)
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(x)).numpy()
+
+    ours = SequenceEncoder(input_dim=12, hidden_dim=128, output_dim=16,
+                           num_layers=2, encoder_type="cnn", dropout=0.0)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    sd = {f"encoders.audio.{k}": t for k, t in ref.state_dict().items()}
+    params, batch_stats = import_reference_state_dict(
+        sd,
+        {"audio_encoder": dict(variables["params"])},
+        template_batch_stats={
+            "audio_encoder": dict(variables["batch_stats"]),
+        },
+    )
+    out_j = ours.apply(
+        {"params": params["audio_encoder"],
+         "batch_stats": batch_stats["audio_encoder"]},
+        jnp.asarray(x), deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_j), out_t, atol=2e-5)
+
+    # without the stats the eval forward must NOT match (guards against
+    # the import silently becoming a no-op)
+    out_bad = ours.apply(
+        {"params": params["audio_encoder"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), deterministic=True,
+    )
+    assert np.abs(np.asarray(out_bad) - out_t).max() > 1e-3
+
+
 def test_import_gru_biases_kept_separate():
     """GRU import must NOT fuse biases (reset gate applies inside)."""
     torch.manual_seed(1)
