@@ -101,6 +101,28 @@ def main():
         )
         OUT.write_text(json.dumps(results, indent=2))
 
+    # batched serving at b256 (throughput point)
+    feats256 = {
+        m: jnp.broadcast_to(
+            jnp.concatenate([a] * 8, axis=0)[None], (4, 256) + a.shape[1:]
+        )
+        for m, a in features.items()
+    }
+    fwd_many256 = make_batched_forward_fn(model, 2)
+
+    def many256():
+        return fwd_many256(params, {}, feats256)
+
+    np.asarray(many256())
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = many256()
+    np.asarray(out)
+    results["forward_batched_b256_clips_per_sec"] = round(
+        4 * 256 * 10 / (time.perf_counter() - t0), 1
+    )
+    OUT.write_text(json.dumps(results, indent=2))
+
     # vmapped MC dropout (S=10): one program, S x batch
     def mc():
         logits, unc = mc_dropout_predict(
