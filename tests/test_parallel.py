@@ -655,3 +655,40 @@ def test_trainer_row_sharded_end_to_end(tmp_path):
     trainer_bad = Trainer(cfg_bad, save_dir=tmp_path / "bad")
     with _pytest.raises(ValueError, match="shard_data_rows"):
         trainer_bad._build(loaders[0])
+
+
+def test_trainer_row_sharded_mmap_disk_dataset(tmp_path):
+    """The pod-scale combination end-to-end: mmap'd on-disk .npy splits +
+    row-sharded placement + shardmap_dp on the virtual mesh."""
+    from multimodal_emotion_detection_tpu.data.loader import (
+        create_dataloaders,
+    )
+    from multimodal_emotion_detection_tpu.training.loop import Trainer
+    from tests.test_train import setattr_path, tiny_config
+
+    rng = np.random.RandomState(0)
+    for split, n in (("train", 48), ("val", 16), ("test", 16)):
+        d = tmp_path / "ds" / split
+        d.mkdir(parents=True)
+        np.save(d / "s1.npy", rng.randn(n, 6, 8).astype(np.float32))
+        np.save(d / "s2.npy", rng.randn(n, 6, 8).astype(np.float32))
+        np.save(d / "labels.npy", rng.randint(0, 4, n).astype(np.int32))
+
+    cfg = tiny_config()
+    setattr_path(cfg, "dataset.name", "disk")
+    setattr_path(cfg, "dataset.data_dir", str(tmp_path / "ds"))
+    setattr_path(cfg, "dataset.mmap", True)
+    setattr_path(cfg, "parallel.strategy", "shardmap_dp")
+    setattr_path(cfg, "parallel.shard_data_rows", True)
+    setattr_path(cfg, "parallel.model_parallel", 1)
+    cfg.training.max_epochs = 1
+    loaders = create_dataloaders(
+        "disk", str(tmp_path / "ds"), cfg.dataset.modalities,
+        batch_size=cfg.dataset.batch_size, mmap=True,
+    )
+    assert isinstance(loaders[0].arrays.features["s1"], np.memmap)
+    trainer = Trainer(cfg, save_dir=tmp_path / "run")
+    trainer.fit(loaders[0], loaders[1])
+    metrics, _, _, _ = trainer.test(loaders[2])
+    assert np.isfinite(metrics["test/loss"])
+    assert trainer._row_sharded
