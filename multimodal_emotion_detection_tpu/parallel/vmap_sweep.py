@@ -35,6 +35,9 @@ class SweepState(struct.PyTreeNode):
     params: any  # leading member axis on every leaf
     opt_state: any  # leading member axis
     lrs: jnp.ndarray  # (G,)
+    # non-param collections (e.g. batch_stats for BN encoders), leading
+    # member axis; empty dict when the model has none
+    model_state: any = struct.field(default_factory=dict)
 
 
 def _adam_core(clip_norm: float) -> optax.GradientTransformation:
@@ -58,22 +61,28 @@ def init_sweep_state(
 
     @jax.jit
     def init_one(rng):
-        variables = model.init(rng, sample_features, sample_mask)
-        params = dict(variables)["params"]
-        return params, core_tx.init(params)
+        variables = dict(model.init(rng, sample_features, sample_mask))
+        params = variables.pop("params")
+        return params, core_tx.init(params), variables
 
     # distinct init per member (fold_in member index), stacked
     keys = [jax.random.fold_in(jax.random.PRNGKey(seed), i) for i in range(g)]
     inits = [init_one(k) for k in keys]
     params = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                    *[p for p, _ in inits])
+                                    *[p for p, _, _ in inits])
     opt_states = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                        *[o for _, o in inits])
+                                        *[o for _, o, _ in inits])
+    model_state = (
+        jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                               *[m for _, _, m in inits])
+        if inits[0][2] else {}
+    )
     return SweepState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=opt_states,
         lrs=jnp.asarray(list(lrs), jnp.float32),
+        model_state=model_state,
     )
 
 
@@ -94,24 +103,35 @@ def make_vmapped_train_step(
     """
     core_tx = _adam_core(clip_norm)
 
-    def member_step(params, opt_state, lr, batch, batch_labels, mask,
-                    dropout_key, valid):
+    def member_step(params, opt_state, model_state, lr, batch, batch_labels,
+                    mask, dropout_key, valid):
+        has_bn = bool(model_state)
+
         def loss_fn(p):
-            logits = model.apply(
-                {"params": p}, batch, mask,
-                deterministic=False, rngs={"dropout": dropout_key},
-            )
+            variables = {"params": p, **model_state}
+            if has_bn:
+                logits, new_ms = model.apply(
+                    variables, batch, mask,
+                    deterministic=False, rngs={"dropout": dropout_key},
+                    mutable=list(model_state.keys()),
+                )
+            else:
+                logits = model.apply(
+                    variables, batch, mask,
+                    deterministic=False, rngs={"dropout": dropout_key},
+                )
+                new_ms = model_state
             if isinstance(logits, tuple):
                 logits = logits[0]
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits, batch_labels
             )
             denom = jnp.clip(valid.sum(), min=1.0)
-            return (ce * valid).sum() / denom, logits
+            return (ce * valid).sum() / denom, (logits, new_ms)
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params
-        )
+        (loss, (logits, new_ms)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         direction, new_opt_state = core_tx.update(grads, opt_state, params)
         # AdamW: p <- p - lr * (adam_dir + wd * p), lr traced per member
         new_params = jax.tree_util.tree_map(
@@ -120,7 +140,7 @@ def make_vmapped_train_step(
         preds = jnp.argmax(logits, axis=-1)
         denom = jnp.clip(valid.sum(), min=1.0)
         acc = ((preds == batch_labels) * valid).sum() / denom
-        return new_params, new_opt_state, {"loss": loss, "acc": acc}
+        return new_params, new_opt_state, new_ms, {"loss": loss, "acc": acc}
 
     def step_fn(state: SweepState, features, labels, idx, valid, key):
         batch = {m: jnp.take(a, idx, axis=0) for m, a in features.items()}
@@ -132,13 +152,13 @@ def make_vmapped_train_step(
                                      modality_dropout)
         mask = mask * valid[:, None]
 
-        new_params, new_opt, metrics = jax.vmap(
-            member_step, in_axes=(0, 0, 0, None, None, None, None, None)
-        )(state.params, state.opt_state, state.lrs, batch, batch_labels,
-          mask, dropout_key, valid)
+        new_params, new_opt, new_ms, metrics = jax.vmap(
+            member_step, in_axes=(0, 0, 0, 0, None, None, None, None, None)
+        )(state.params, state.opt_state, state.model_state, state.lrs,
+          batch, batch_labels, mask, dropout_key, valid)
         return (
             state.replace(step=state.step + 1, params=new_params,
-                          opt_state=new_opt),
+                          opt_state=new_opt, model_state=new_ms),
             metrics,
         )
 
@@ -153,14 +173,14 @@ def make_vmapped_train_step(
 
 
 def make_vmapped_eval_step(model, num_modalities: int) -> Callable:
-    def step_fn(params, features, labels, idx, valid):
+    def step_fn(params, model_state, features, labels, idx, valid):
         batch = {m: jnp.take(a, idx, axis=0) for m, a in features.items()}
         batch_labels = jnp.take(labels, idx, axis=0)
         b = idx.shape[0]
         mask = jnp.ones((b, num_modalities), jnp.float32) * valid[:, None]
 
-        def member(p):
-            logits = model.apply({"params": p}, batch, mask,
+        def member(p, ms):
+            logits = model.apply({"params": p, **ms}, batch, mask,
                                  deterministic=True)
             if isinstance(logits, tuple):
                 logits = logits[0]
@@ -174,7 +194,7 @@ def make_vmapped_eval_step(model, num_modalities: int) -> Callable:
                 "count": valid.sum(),
             }
 
-        return jax.vmap(member)(params)
+        return jax.vmap(member)(params, model_state)
 
     return jax.jit(step_fn)
 
@@ -267,7 +287,7 @@ def _vmapped_lr_sweep(
         vvalid = val_loader.epoch_batch_valid()
         totals = None
         for bi in range(vidx.shape[0]):
-            sums = eval_step(state.params, vfeats, vlabels,
+            sums = eval_step(state.params, state.model_state, vfeats, vlabels,
                              jnp.asarray(vidx[bi]), jnp.asarray(vvalid[bi]))
             totals = sums if totals is None else jax.tree_util.tree_map(
                 jnp.add, totals, sums
@@ -303,8 +323,8 @@ def train_ensemble(
     seed: int = 42,
 ):
     """Train N independently-initialized ensemble members in ONE jitted
-    program (same lr, member-index-folded init seeds).  Returns the stacked
-    parameter pytree consumed directly by
+    program (same lr, member-index-folded init seeds).  Returns
+    ``(stacked_params, stacked_model_state)`` consumed directly by
     uncertainty.ensemble.ensemble_predict — the reference trains its
     EnsembleUncertainty members one at a time (uncertainty.py:419-468).
     """
@@ -361,4 +381,5 @@ def _train_ensemble(
                               jnp.asarray(idx_all, dtype=jnp.int32),
                               jnp.asarray(valid_all, dtype=jnp.float32),
                               key)
-    return state.params  # stacked (N, ...) pytree
+    # stacked (N, ...) pytrees; model_state is {} for BN-free models
+    return state.params, state.model_state

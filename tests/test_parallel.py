@@ -138,6 +138,39 @@ def test_sharded_step_matches_single_device():
     assert single[-1] < single[0]  # it actually learns
 
 
+def test_vmapped_lr_sweep_batchnorm_models():
+    """BatchNorm models sweep too: batch_stats ride the SweepState with a
+    member axis (found driving the sweep CLI on the real chip — the old
+    code applied with params only and crashed on BN collections)."""
+    from multimodal_emotion_detection_tpu.data.loader import MultimodalLoader
+    from multimodal_emotion_detection_tpu.data.synthetic import (
+        synthetic_arrays,
+    )
+    from multimodal_emotion_detection_tpu.models.classifier import (
+        MultimodalClassifier,
+    )
+    from multimodal_emotion_detection_tpu.parallel.vmap_sweep import (
+        vmapped_lr_sweep,
+    )
+
+    model = MultimodalClassifier(
+        modalities=("a",),
+        encoder_configs={"a": {"type": "mlp", "input_dim": 8,
+                               "hidden_dim": 16, "num_layers": 1,
+                               "batch_norm": True, "dropout": 0.0}},
+        num_classes=4, output_dim=8, hidden_dim=16, dropout=0.0,
+    )
+    arrays = synthetic_arrays(32, 4, {"a": 8}, 5, "train", seed=1)
+    arrays.features["a"] = arrays.features["a"][:, 0, :]
+    train = MultimodalLoader(arrays, batch_size=16, shuffle=True, seed=3)
+    val = MultimodalLoader(arrays, batch_size=16, shuffle=False, seed=3)
+
+    results = vmapped_lr_sweep(model, train, val, [1e-3, 1e-2], epochs=2,
+                               weight_decay=1e-4, seed=5)
+    assert len(results) == 2
+    assert all(np.isfinite(r["best_val_loss"]) for r in results)
+
+
 def test_vmapped_lr_sweep_matches_reference_member():
     """G lrs in one XLA program; a member must reproduce a standalone run."""
     from multimodal_emotion_detection_tpu.data.loader import MultimodalLoader

@@ -172,12 +172,12 @@ def test_vmapped_ensemble_training_feeds_ensemble_predict():
     arrays.features["a"] = arrays.features["a"][:, 0, :]
     loader = MultimodalLoader(arrays, batch_size=16, shuffle=True, seed=4)
 
-    stacked = train_ensemble(model, loader, n_members=3, epochs=2,
-                             learning_rate=5e-3, seed=9)
+    stacked, stacked_ms = train_ensemble(model, loader, n_members=3, epochs=2,
+                                         learning_rate=5e-3, seed=9)
     lead = jax.tree_util.tree_leaves(stacked)[0]
     assert lead.shape[0] == 3
     mean_probs, unc = ensemble_predict(
-        model, stacked, {}, feats, num_modalities=1
+        model, stacked, stacked_ms, feats, num_modalities=1
     )
     assert mean_probs.shape == (6, 4)
     np.testing.assert_allclose(np.asarray(mean_probs.sum(-1)), 1.0, rtol=1e-5)
