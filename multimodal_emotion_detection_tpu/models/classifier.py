@@ -201,6 +201,63 @@ class MultimodalClassifier(nn.Module):
         return logits
 
 
+def load_pretrained_encoder_weights(params, model_state, encoder_configs):
+    """Graft locally-saved torchvision ResNet state_dicts into initialized
+    encoder parameters.
+
+    Config knob ``model.encoders.<modality>.weights_path`` on a
+    ``pretrained_cnn`` encoder — the zero-egress equivalent of the
+    reference's ``pretrained=True`` torchvision download
+    (/root/reference/src/encoders.py:400-529, download at :424-438).  The
+    user points ``weights_path`` at a local torchvision-layout ``.pth``
+    state_dict; conversion (OIHW->HWIO transpose, BN params + running
+    stats) is models/resnet.py::load_torch_resnet_weights.
+
+    Returns ``(params, model_state)`` with the ``<modality>_encoder ->
+    backbone`` subtree replaced; tree *structure* is unchanged, so an
+    optimizer state already initialized from ``params`` stays valid.
+    """
+    from multimodal_emotion_detection_tpu.models.resnet import (
+        load_torch_resnet_weights,
+    )
+
+    new_params = dict(params)
+    new_state = {k: dict(v) for k, v in dict(model_state or {}).items()}
+    for modality, cfg in dict(encoder_configs or {}).items():
+        cfg = dict(cfg)
+        path = cfg.get("weights_path")
+        if not path:
+            continue
+        if cfg.get("type") != "pretrained_cnn":
+            raise ValueError(
+                f"model.encoders.{modality}.weights_path requires "
+                f"type='pretrained_cnn', got {cfg.get('type')!r}"
+            )
+        enc = f"{modality}_encoder"
+        if enc not in new_params or "backbone" not in new_params[enc]:
+            raise ValueError(
+                f"No initialized backbone for modality '{modality}' "
+                f"(expected params['{enc}']['backbone'])"
+            )
+        sub = {"params": new_params[enc]["backbone"]}
+        bstats = (
+            new_state.get("batch_stats", {}).get(enc, {}).get("backbone")
+        )
+        if bstats is not None:
+            sub["batch_stats"] = bstats
+        loaded = load_torch_resnet_weights(
+            sub, path, variant=cfg.get("backbone", "resnet18")
+        )
+        new_params[enc] = dict(new_params[enc])
+        new_params[enc]["backbone"] = loaded["params"]
+        if bstats is not None:
+            bs = dict(new_state["batch_stats"])
+            bs[enc] = dict(bs[enc])
+            bs[enc]["backbone"] = loaded["batch_stats"]
+            new_state["batch_stats"] = bs
+    return new_params, new_state
+
+
 def logmel_params_from_config(fe) -> LogMelParams:
     """FrontendConfig -> LogMelParams (shared by model + feature cache)."""
     return LogMelParams(

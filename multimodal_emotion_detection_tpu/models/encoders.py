@@ -574,6 +574,13 @@ def build_encoder(
             name=f"{modality}_encoder",
         )
     if enc_type == "pretrained_cnn":
+        # 'weights_path' is consumed at init time, not module-build time:
+        # training/loop.py grafts the local torchvision state_dict into the
+        # freshly-initialized params via
+        # classifier.load_pretrained_encoder_weights (the zero-egress
+        # equivalent of the reference's pretrained=True download at
+        # /root/reference/src/encoders.py:424-438).
+        cfg.pop("weights_path", None)
         return ImageCNNEncoder(
             backbone=cfg.pop("backbone", "resnet18"),
             output_dim=output_dim,

@@ -142,6 +142,20 @@ class Trainer:
         )
         rng = jax.random.PRNGKey(cfg.seed)
         self.state = create_train_state(self.model, tx, sample, sample_mask, rng)
+        if any(
+            dict(c).get("weights_path")
+            for c in dict(cfg.model.encoders).values()
+        ):
+            from multimodal_emotion_detection_tpu.models.classifier import (
+                load_pretrained_encoder_weights,
+            )
+
+            params, model_state = load_pretrained_encoder_weights(
+                self.state.params, self.state.model_state, cfg.model.encoders
+            )
+            self.state = self.state.replace(
+                params=params, model_state=model_state
+            )
         has_bn = bool(self.state.model_state)
 
         # Multi-device: jit the same step over a ('data','model') mesh.

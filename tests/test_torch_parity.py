@@ -251,3 +251,69 @@ def test_resnet_torch_weight_import():
     )
     np.testing.assert_allclose(np.asarray(feats), feats_ref,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pretrained_weights_path_trains_end_to_end(tmp_path):
+    """The ``model.encoders.<m>.weights_path`` config knob: a user with a
+    locally-saved torchvision-layout ``.pth`` file gets those weights in an
+    actual training run (the zero-egress path replacing the reference's
+    ``pretrained=True`` download, /root/reference/src/encoders.py:400-529).
+    """
+    from multimodal_emotion_detection_tpu.config import Config, apply_overrides
+    from multimodal_emotion_detection_tpu.data.loader import create_dataloaders
+    from multimodal_emotion_detection_tpu.training.loop import Trainer
+
+    torch.manual_seed(11)
+    ref = _TorchResNet18().eval()
+    pth = tmp_path / "resnet18.pth"
+    torch.save(ref.state_dict(), pth)
+
+    # tiny on-disk dataset with image-shaped video: (N, T=2, 16, 16, 3)
+    rng = np.random.RandomState(3)
+    data_dir = tmp_path / "data"
+    for split, n in [("train", 16), ("val", 8), ("test", 8)]:
+        d = data_dir / split
+        d.mkdir(parents=True)
+        np.save(d / "video.npy",
+                rng.rand(n, 2, 16, 16, 3).astype(np.float32))
+        np.save(d / "labels.npy", rng.randint(0, 4, size=n).astype(np.int64))
+
+    cfg = Config()
+    apply_overrides(cfg, [
+        "dataset.name=ravdess",
+        f"dataset.data_dir={data_dir}",
+        "dataset.modalities=[video]",
+        "dataset.num_classes=4",
+        "dataset.batch_size=8",
+        ("model.encoders={video: {type: pretrained_cnn, backbone: resnet18, "
+         + f"weights_path: '{pth}', temporal_pooling: average}}}}"),
+        "model.output_dim=8",
+        "model.hidden_dim=16",
+        "training.max_epochs=1",
+    ])
+    train_loader, val_loader, _ = create_dataloaders(
+        cfg.dataset.name, cfg.dataset.data_dir, cfg.dataset.modalities,
+        batch_size=cfg.dataset.batch_size, seed=cfg.seed,
+    )
+    trainer = Trainer(cfg, save_dir=tmp_path / "run")
+    trainer.fit(train_loader, val_loader)
+
+    # the initialized state must carry the torch weights (not random init):
+    # stem conv kernel == torch conv1 OIHW->HWIO... minus one AdamW step.
+    stem = np.asarray(
+        jax.device_get(
+            trainer.state.params["video_encoder"]["backbone"]["stem_conv"][
+                "kernel"
+            ]
+        )
+    )
+    want = np.transpose(ref.state_dict()["conv1.weight"].numpy(), (2, 3, 1, 0))
+    # after 2 optimizer steps of lr 1e-3 the drift is bounded by ~steps*lr
+    assert np.abs(stem - want).max() < 5e-2
+    assert np.abs(stem - want).max() > 0  # it did train
+    # BN running stats grafted exactly (not updated by eval passes alone?
+    # train steps do update them — check the graft happened by magnitude)
+    bs = trainer.state.model_state["batch_stats"]["video_encoder"]["backbone"]
+    got_var = np.asarray(jax.device_get(bs["stem_bn"]["var"]))
+    want_var = ref.state_dict()["bn1.running_var"].numpy()
+    assert np.abs(got_var - want_var).max() < 0.5
