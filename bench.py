@@ -32,8 +32,53 @@ import time
 import numpy as np
 
 
+def _bench_config(frontend: str, batch: int, compute_dtype: str = "float32",
+                  big: bool = False):
+    """The benchmark Config for a given frontend/geometry (also feeds the
+    analytic FLOPs model, so keep it the single source of truth)."""
+    from multimodal_emotion_detection_tpu.config import Config, apply_overrides
+
+    cfg = Config()
+    overrides = [
+        f"dataset.batch_size={batch}",
+        "model.encoders.video.input_dim=4096",
+        f"runtime.compute_dtype={compute_dtype}",
+    ]
+    if big:
+        # the reference's big sweep config (run.slurm/sweep.sh geometry:
+        # out 256 / hidden 512 / LSTM x3 — the model behind every
+        # BASELINE.md number)
+        overrides += [
+            "model.output_dim=256",
+            "model.hidden_dim=512",
+            "model.encoders.audio.hidden_dim=512",
+            "model.encoders.audio.num_layers=3",
+            "model.encoders.video.hidden_dim=512",
+        ]
+    else:
+        overrides.append("model.encoders.audio.hidden_dim=256")
+    apply_overrides(cfg, overrides)
+    if frontend.startswith("logmel"):
+        cfg.model.frontend.audio = "logmel"
+        cfg.model.frontend.use_pallas = frontend != "logmel_xla"
+        cfg.model.frontend.cache = frontend == "logmel_cached"
+    return cfg
+
+
+def _train_flops_per_clip(frontend: str, batch: int,
+                          compute_dtype: str = "float32",
+                          big: bool = False) -> float:
+    from multimodal_emotion_detection_tpu.utils.flops import (
+        classifier_flops_per_clip,
+    )
+
+    cfg = _bench_config(frontend, batch, compute_dtype, big)
+    return classifier_flops_per_clip(cfg)["train"]
+
+
 def _build(frontend: str, batch: int, n_rows: int, seed: int = 0,
-           compute_dtype: str = "float32", scan: bool = False):
+           compute_dtype: str = "float32", scan: bool = False,
+           big: bool = False):
     """frontend: 'raw' | 'logmel_xla' | 'logmel_pallas'.
 
     With ``scan`` the returned step is the epoch-scan driver
@@ -41,7 +86,6 @@ def _build(frontend: str, batch: int, n_rows: int, seed: int = 0,
     import jax
     import jax.numpy as jnp
 
-    from multimodal_emotion_detection_tpu.config import Config, apply_overrides
     from multimodal_emotion_detection_tpu.models.classifier import (
         classifier_from_config,
     )
@@ -52,17 +96,7 @@ def _build(frontend: str, batch: int, n_rows: int, seed: int = 0,
         make_train_step,
     )
 
-    cfg = Config()
-    apply_overrides(cfg, [
-        f"dataset.batch_size={batch}",
-        "model.encoders.audio.hidden_dim=256",
-        "model.encoders.video.input_dim=4096",
-        f"runtime.compute_dtype={compute_dtype}",
-    ])
-    if frontend.startswith("logmel"):
-        cfg.model.frontend.audio = "logmel"
-        cfg.model.frontend.use_pallas = frontend != "logmel_xla"
-        cfg.model.frontend.cache = frontend == "logmel_cached"
+    cfg = _bench_config(frontend, batch, compute_dtype, big)
     model = classifier_from_config(cfg)
 
     rng = np.random.RandomState(seed)
@@ -162,10 +196,11 @@ def _time_epoch_scan(state, epoch_step, features, labels, batch, n_rows,
 
 
 def run_one(frontend: str, batch: int, n_rows: int, warmup: int, iters: int,
-            compute_dtype: str = "float32", epoch_scan: bool = False):
+            compute_dtype: str = "float32", epoch_scan: bool = False,
+            big: bool = False):
     state, step, features, labels = _build(
         frontend, batch, n_rows, compute_dtype=compute_dtype,
-        scan=epoch_scan,
+        scan=epoch_scan, big=big,
     )
     if epoch_scan:
         cps, _ = _time_epoch_scan(
@@ -253,6 +288,13 @@ def main():
             jax.config.update("jax_default_prng_impl", "threefry2x32")
     except Exception:
         peak_cps = None
+    # like-for-like big config (reference sweep geometry: out 256 /
+    # hidden 512 / LSTM x3 — the model behind every BASELINE.md number)
+    try:
+        big_cps = run_one("logmel_cached", batch, n_rows, warmup=2, iters=10,
+                          epoch_scan=True, big=True)
+    except Exception:
+        big_cps = None
     fast_pallas = _pallas_subprocess(batch)
 
     candidates = {"logmel_xla": fast_xla}
@@ -262,6 +304,29 @@ def main():
         candidates["logmel_cached"] = cached_cps
     best_name = max(candidates, key=candidates.get)
     value = candidates[best_name]
+
+    # Roofline accounting: analytic matmul FLOPs/clip (utils/flops.py,
+    # XLA-cost-analysis cross-checked in tests/test_flops.py) -> achieved
+    # TFLOP/s and MFU against the chip's bf16 MXU peak.
+    from multimodal_emotion_detection_tpu.utils.flops import (
+        device_peak_flops,
+        mfu,
+    )
+
+    peak = device_peak_flops()
+    f_headline = _train_flops_per_clip(best_name, batch)
+    m_headline = mfu(value, f_headline, peak)
+    m_peak = (
+        mfu(peak_cps, _train_flops_per_clip("logmel_cached", 256,
+                                            "bfloat16"), peak)
+        if peak_cps is not None else None
+    )
+    m_big = (
+        mfu(big_cps, _train_flops_per_clip("logmel_cached", batch, big=True),
+            peak)
+        if big_cps is not None else None
+    )
+    m_base = mfu(base_cps, _train_flops_per_clip("raw", batch), peak)
 
     result = {
         "metric": "ravdess_train_clips_per_sec_per_chip",
@@ -280,6 +345,20 @@ def main():
         "peak_clips_per_sec_b256_bf16": (
             round(peak_cps, 2) if peak_cps is not None else None
         ),
+        "big_config_clips_per_sec": (
+            round(big_cps, 2) if big_cps is not None else None
+        ),
+        "train_flops_per_clip": round(f_headline),
+        "achieved_tflops": round(m_headline["achieved_tflops"], 2),
+        "mfu": round(m_headline["mfu"], 4),
+        "mfu_peak_b256_bf16": (
+            round(m_peak["mfu"], 4) if m_peak is not None else None
+        ),
+        "mfu_big_config": (
+            round(m_big["mfu"], 4) if m_big is not None else None
+        ),
+        "mfu_baseline_raw": round(m_base["mfu"], 4),
+        "peak_tflops_bf16": round(peak / 1e12, 1),
         "platform": platform,
         "batch_size": batch,
     }

@@ -1,0 +1,200 @@
+"""Analytic FLOPs/step model for the flagship classifier.
+
+Counts *matmul* FLOPs (2 x MAC) — the MXU-relevant work — for every
+component on the training path: audio frontend (STFT-as-matmul + mel),
+sequence encoders (LSTM/GRU gate matmuls, CNN convs, transformer blocks),
+frame/MLP encoders, and the concat head.  Elementwise work (gate
+nonlinearities, softmax, norm) is excluded: it rides the VPU and is
+HBM-bound, so it belongs to the bandwidth roofline, not the compute one.
+
+Training FLOPs use the standard 3x-forward convention (1x forward + 2x
+backward for matmul-dominated graphs).  The optimizer update is O(params)
+elementwise and excluded.
+
+This powers the ``mfu`` / ``achieved_tflops`` fields in bench.py — the
+roofline accounting that anchors clips/s against the chip's ceiling.
+The hot loop this model describes replaces the reference's
+/root/reference/src/encoders.py:137-155 (LSTM over the waveform) +
+train.py:121-164 (concat head).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+# Peak dense matmul throughput per chip, FLOP/s.  JAX's DEFAULT matmul
+# precision on TPU multiplies in bf16 (fp32 accumulate), so fp32-parameter
+# models still ride the bf16 MXU rate — one peak per platform is the
+# honest denominator for both compute dtypes.
+PEAK_FLOPS = {
+    "tpu_v5e": 197e12,  # TPU v5e (v5 lite): 197 TFLOP/s bf16
+    "tpu_v4": 275e12,
+    "cpu": 1e11,  # nominal; CPU runs are for correctness, not MFU
+}
+
+
+def device_peak_flops() -> float:
+    import jax
+
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "").lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return PEAK_FLOPS["tpu_v5e"]
+    if "v4" in kind:
+        return PEAK_FLOPS["tpu_v4"]
+    if jax.default_backend() == "cpu":
+        return PEAK_FLOPS["cpu"]
+    return PEAK_FLOPS["tpu_v5e"]
+
+
+def logmel_frames(num_samples: int, n_fft: int, hop_length: int) -> int:
+    """Frame count of the center-less STFT used by ops/logmel.py."""
+    return 1 + (num_samples - n_fft) // hop_length
+
+
+def _frontend_flops(fe, num_samples: int) -> float:
+    """Fused STFT+mel as matmuls: per frame, windowed n_fft samples hit a
+    (n_fft, 2*n_bins) DFT basis, then (n_bins, n_mels) mel projection."""
+    if fe.audio not in ("logmel", "mfcc"):
+        return 0.0
+    frames = logmel_frames(num_samples, fe.n_fft, fe.hop_length)
+    n_bins = fe.n_fft // 2 + 1
+    dft = 2 * fe.n_fft * (2 * n_bins)  # real+imag basis matmul
+    mel = 2 * n_bins * fe.n_mels
+    per_frame = dft + mel
+    if fe.audio == "mfcc":
+        per_frame += 2 * fe.n_mels * fe.n_mfcc  # DCT matmul
+    return float(frames) * per_frame
+
+
+def _rnn_flops(T: int, input_dim: int, hidden: int, num_layers: int,
+               cell: str) -> float:
+    """Gate matmuls: LSTM 4 gates, GRU 3 gates; input + recurrent projections."""
+    gates = 4 if cell == "lstm" else 3
+    total = 0.0
+    d_in = input_dim
+    for _ in range(num_layers):
+        total += T * 2 * gates * hidden * (d_in + hidden)
+        d_in = hidden
+    return total
+
+
+def _transformer_flops(T: int, input_dim: int, hidden: int,
+                       num_layers: int) -> float:
+    """in-proj + per-block (qkv/out proj, scores, att*V, FFN 4x)."""
+    d = hidden
+    total = 2 * T * input_dim * d  # input projection
+    per_block = (
+        2 * T * d * (3 * d)      # qkv projections
+        + 2 * T * T * d          # scores QK^T
+        + 2 * T * T * d          # attention @ V
+        + 2 * T * d * d          # output projection
+        + 2 * T * d * (4 * d) * 2  # FFN in+out (dim_feedforward = 4d)
+    )
+    return total + num_layers * per_block
+
+
+def _cnn_flops(T: int, input_dim: int, hidden: int) -> float:
+    """Conv1d k5 (input->hidden) + Conv1d k3 (hidden->hidden), 'same' pad."""
+    return (
+        T * 2 * 5 * input_dim * hidden
+        + T * 2 * 3 * hidden * hidden
+    )
+
+
+def encoder_forward_flops(enc_cfg: Dict[str, Any], output_dim: int,
+                          T: int, input_dim: int) -> float:
+    """Per-clip forward matmul FLOPs of one configured encoder."""
+    cfg = dict(enc_cfg)
+    etype = cfg.get("type", "sequence")
+    hidden = cfg.get("hidden_dim") or output_dim * 2
+    if etype == "sequence":
+        cell = cfg.get("encoder_type", "lstm")
+        layers = cfg.get("num_layers", 2)
+        if cell in ("lstm", "gru"):
+            body = _rnn_flops(T, input_dim, hidden, layers, cell)
+        elif cell == "transformer":
+            body = _transformer_flops(T, input_dim, hidden, layers)
+        elif cell == "cnn":
+            body = _cnn_flops(T, input_dim, hidden)
+        else:
+            raise ValueError(f"Unknown encoder_type {cell!r}")
+        return body + 2 * hidden * output_dim  # projection
+    if etype == "frame":
+        mlp = T * 2 * input_dim * hidden
+        att = T * 2 * hidden * 1  # AttentionPool scalar scores
+        proj = 2 * hidden * output_dim
+        return mlp + att + proj
+    if etype == "mlp":
+        layers = cfg.get("num_layers", 2)
+        total, d_in = 0.0, input_dim
+        for _ in range(layers):
+            total += 2 * d_in * hidden
+            d_in = hidden
+        total += 2 * hidden * output_dim
+        return T * total if T > 1 else total
+    if etype == "pretrained_cnn":
+        raise ValueError("pretrained_cnn FLOPs not modeled (use XLA cost "
+                         "analysis for conv backbones)")
+    raise ValueError(f"Unknown encoder type {etype!r}")
+
+
+def classifier_flops_per_clip(cfg, audio_samples: int = 48000,
+                              video_frames: int = 24) -> Dict[str, float]:
+    """Forward/train matmul FLOPs per clip for a Config's flagship model.
+
+    Returns a breakdown dict plus 'forward' and 'train' (= 3x forward for
+    everything with parameters; the frontend is parameter-free so its
+    backward contributes nothing — and with frontend.cache it amortizes to
+    ~0 across an epoch and is excluded entirely).
+    """
+    fe = cfg.model.frontend
+    out_dim = cfg.model.output_dim
+    breakdown: Dict[str, float] = {}
+
+    cached = bool(getattr(fe, "cache", False))
+    frontend = 0.0 if cached else _frontend_flops(fe, audio_samples)
+    if frontend:
+        breakdown["frontend"] = frontend
+
+    encoder_total = 0.0
+    for name, enc_cfg in dict(cfg.model.encoders).items():
+        enc_cfg = dict(enc_cfg)
+        if name == "audio":
+            if fe.audio == "logmel":
+                T = logmel_frames(audio_samples, fe.n_fft, fe.hop_length)
+                in_dim = fe.n_mels
+            elif fe.audio == "mfcc":
+                T = logmel_frames(audio_samples, fe.n_fft, fe.hop_length)
+                in_dim = fe.n_mfcc
+            else:
+                T, in_dim = audio_samples, enc_cfg.get("input_dim", 1)
+        elif name == "video":
+            T, in_dim = video_frames, enc_cfg.get("input_dim", 4096)
+        else:
+            T = enc_cfg.get("sequence_length", 1)
+            in_dim = enc_cfg.get("input_dim", 64)
+        f = encoder_forward_flops(enc_cfg, out_dim, T, in_dim)
+        breakdown[f"encoder_{name}"] = f
+        encoder_total += f
+
+    n_mod = len(dict(cfg.model.encoders))
+    head = (2 * n_mod * out_dim * cfg.model.hidden_dim
+            + 2 * cfg.model.hidden_dim * cfg.dataset.num_classes)
+    breakdown["head"] = head
+
+    forward = frontend + encoder_total + head
+    # frontend has no parameters: backward never revisits it
+    train = frontend + 3 * (encoder_total + head)
+    return {"forward": forward, "train": train, "breakdown": breakdown}
+
+
+def mfu(clips_per_sec: float, train_flops_per_clip: float,
+        peak_flops: float | None = None) -> Dict[str, float]:
+    peak = peak_flops if peak_flops is not None else device_peak_flops()
+    achieved = clips_per_sec * train_flops_per_clip
+    return {
+        "achieved_tflops": achieved / 1e12,
+        "mfu": achieved / peak,
+        "peak_tflops": peak / 1e12,
+    }
