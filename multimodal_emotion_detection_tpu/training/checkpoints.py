@@ -23,17 +23,36 @@ import numpy as np
 from flax import serialization
 
 
+def _is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def _sync(tag: str) -> None:
+    """Cross-process barrier (no-op single-process)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 def save_checkpoint(
     path: Path, state: Any, meta: Dict[str, Any], backend: str = "msgpack"
 ) -> None:
+    """Multi-process contract: EVERY process calls this (the orbax backend
+    is a collective — each process writes its addressable shards); host-side
+    file writes (msgpack bytes, JSON sidecar) happen on process 0 only."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     if backend == "orbax":
         _orbax_save(path, state)
     else:
         host_state = jax.device_get(state)
-        path.write_bytes(serialization.to_bytes(host_state))
-    path.with_suffix(path.suffix + ".json").write_text(json.dumps(meta, indent=2))
+        if _is_primary():
+            path.write_bytes(serialization.to_bytes(host_state))
+    if _is_primary():
+        path.with_suffix(path.suffix + ".json").write_text(
+            json.dumps(meta, indent=2)
+        )
 
 
 def restore_checkpoint(path: Path, target: Any) -> Tuple[Any, Dict[str, Any]]:
@@ -54,8 +73,11 @@ def _orbax_save(path: Path, state: Any) -> None:
 
     import orbax.checkpoint as ocp
 
-    if path.exists():
+    # overwrite semantics: only process 0 clears the old directory, and
+    # every process waits at the barrier before the collective save starts
+    if _is_primary() and path.exists():
         shutil.rmtree(path, ignore_errors=True)
+    _sync(f"orbax_pre_save:{path.name}")
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path.resolve(), state)
 
@@ -160,17 +182,20 @@ class CheckpointManager:
         self._kept.sort(key=lambda kv: kv[0], reverse=(self.mode != "min"))
         while len(self._kept) > self.save_top_k:
             _, drop = self._kept.pop()
-            if drop.is_dir():  # orbax checkpoints are directories
-                shutil.rmtree(drop, ignore_errors=True)
-            else:
-                drop.unlink(missing_ok=True)
-            drop.with_suffix(drop.suffix + ".json").unlink(missing_ok=True)
+            if _is_primary():  # bookkeeping on all processes, FS ops on 0
+                if drop.is_dir():  # orbax checkpoints are directories
+                    shutil.rmtree(drop, ignore_errors=True)
+                else:
+                    drop.unlink(missing_ok=True)
+                drop.with_suffix(drop.suffix + ".json").unlink(missing_ok=True)
         if self._is_better(monitor_value, self.best_model_score):
             self.best_model_score = float(monitor_value)
             self.best_model_path = path
 
     def copy_best(self, target: Path) -> Optional[Path]:
         if self.best_model_path and self.best_model_path.exists():
+            if not _is_primary():
+                return Path(target)
             if self.best_model_path.is_dir():  # orbax directory checkpoint
                 if Path(target).exists():
                     shutil.rmtree(target, ignore_errors=True)

@@ -58,8 +58,20 @@ class Trainer:
             else Path(config.experiment.save_dir) / config.experiment.name
         )
         self.save_dir.mkdir(parents=True, exist_ok=True)
-        self.csv_logger = CSVLogger(self.save_dir)
-        self.tb_logger = TensorBoardLogger(self.save_dir)
+        # multi-process runs share one save_dir: metrics are identical on
+        # every process (global collectives), so only process 0 writes
+        # CSV/TB files (checkpoints stay collective — see checkpoints.py)
+        self.is_primary = jax.process_index() == 0
+        if self.is_primary:
+            self.csv_logger = CSVLogger(self.save_dir)
+            self.tb_logger = TensorBoardLogger(self.save_dir)
+        else:
+            from multimodal_emotion_detection_tpu.utils.logging import (
+                NullLogger,
+            )
+
+            self.csv_logger = NullLogger()
+            self.tb_logger = NullLogger()
         self.checkpoints = CheckpointManager(
             self.save_dir / "checkpoints",
             save_top_k=config.experiment.save_top_k,

@@ -119,3 +119,15 @@ class StepTimer:
     @property
     def elapsed(self) -> float:
         return self._elapsed
+
+
+class NullLogger:
+    """Logger stand-in for non-primary processes in multi-process runs:
+    metrics are identical on every process (global collectives), so only
+    process 0 writes CSV/TB files — the rest get this no-op."""
+
+    def log_metrics(self, *args, **kwargs) -> None:
+        pass
+
+    def close(self) -> None:
+        pass

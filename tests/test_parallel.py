@@ -725,3 +725,80 @@ def test_trainer_row_sharded_mmap_disk_dataset(tmp_path):
     metrics, _, _, _ = trainer.test(loaders[2])
     assert np.isfinite(metrics["test/loss"])
     assert trainer._row_sharded
+
+
+def test_multiprocess_distributed_training(tmp_path):
+    """Execute the multi-PROCESS path for real: 2 processes x 4 virtual CPU
+    devices form the 8-device ('data','model') mesh via
+    jax.distributed.initialize (gloo collectives), train 2 epochs + resume
+    a third from the collectively-written orbax checkpoint, and match the
+    single-process run's losses.
+
+    This is the code loop.py's checkpoint auto-switch and
+    parallel/distributed.py exist for; the reference has nothing
+    distributed at all (/root/reference/src/train.py:535-536).
+    """
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from multimodal_emotion_detection_tpu.training.loop import Trainer
+    from tests.test_train import make_loaders, tiny_config
+
+    # ---- single-process reference on the test process's 8 devices ----
+    cfg = tiny_config()
+    cfg.training.max_epochs = 2
+    cfg.parallel.data_parallel = 4
+    cfg.parallel.model_parallel = 2
+    train_loader, val_loader, _ = make_loaders(cfg)
+    trainer = Trainer(cfg, save_dir=tmp_path / "single")
+    trainer.fit(train_loader, val_loader)
+    ref_losses = [h["val/loss"] for h in trainer.history]
+
+    # ---- 2-process run ----
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    workdir = tmp_path / "mp"
+    workdir.mkdir()
+    worker = (
+        Path(__file__).resolve().parents[1] / "scripts"
+        / "multiprocess_worker.py"
+    )
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = (
+        str(Path(__file__).resolve().parents[1])
+        + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port),
+             str(workdir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    result = json.loads((workdir / "result.json").read_text())
+    assert result["backend"] == "orbax"
+    assert result["process_info"]["global_devices"] == 8
+    # loss parity with the single-process mesh run (identical data/seeds;
+    # only the collective implementation differs)
+    np.testing.assert_allclose(
+        result["val_losses"], ref_losses, rtol=2e-4, atol=2e-5
+    )
+    assert np.isfinite(result["resumed_val_loss"])
+    # CSV written by process 0 only: the worker constructs two Trainers
+    # (fit + resume) -> exactly 2 version dirs; if process 1 also logged
+    # there would be 4
+    versions = list((workdir / "run" / "csv_logs").glob("version_*"))
+    assert len(versions) == 2
