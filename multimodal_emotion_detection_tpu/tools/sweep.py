@@ -22,7 +22,9 @@ from typing import List, Sequence
 
 def format_tag(lr: float, dropout: float, m_dropout: float) -> str:
     def fmt(x: float) -> str:
-        return f"{x:g}".replace(".", "p").replace("-", "m")
+        # the reference's tag scheme keeps the full decimal form with '.'
+        # replaced by 'p' (grid_sweep_results/lr0p0005_drop0p0_mDrop0p0)
+        return str(float(x)).replace(".", "p").replace("-", "m")
 
     return f"lr{fmt(lr)}_drop{fmt(dropout)}_mDrop{fmt(m_dropout)}"
 
@@ -30,8 +32,8 @@ def format_tag(lr: float, dropout: float, m_dropout: float) -> str:
 def run_sweep(
     base_config,
     learning_rates: Sequence[float] = (5e-4, 1e-3, 2e-3),
-    dropouts: Sequence[float] = (0.0, 0.3),
-    modality_dropouts: Sequence[float] = (0.0, 0.1),
+    dropouts: Sequence[float] = (0.0, 0.1),
+    modality_dropouts: Sequence[float] = (0.0, 0.05),
     out_root: str = "grid_sweep_results",
     overrides: List[str] | None = None,
 ) -> List[dict]:
@@ -73,9 +75,24 @@ def run_sweep(
                 csvs = sorted(run_dir.glob("csv_logs/version_*/metrics.csv"))
                 if csvs:
                     shutil.copy(str(csvs[-1]), str(dest / "metrics.csv"))
+                # manifest mirrors the reference's field set
+                # (grid_sweep_results/*/hyperparams.txt, sweep.sh:160-173)
+                enc = {k: dict(v) for k, v in
+                       dict(cfg.model.encoders).items()}
+                a = enc.get("audio", {})
+                v = enc.get("video", {})
                 (dest / "hyperparams.txt").write_text(
-                    f"learning_rate={lr}\nmodel.dropout={dropout}\n"
-                    f"modality_dropout={m_drop}\n"
+                    f"experiment.name = {cfg.experiment.name}\n"
+                    f"learning_rate   = {lr}\n"
+                    f"model.dropout   = {dropout}\n"
+                    f"modality_dropout= {m_drop}\n"
+                    f"model.output_dim= {cfg.model.output_dim}\n"
+                    f"model.hidden_dim= {cfg.model.hidden_dim}\n"
+                    f"audio.hidden_dim= {a.get('hidden_dim')}\n"
+                    f"audio.output_dim= {a.get('output_dim', cfg.model.output_dim)}\n"
+                    f"audio.num_layers= {a.get('num_layers')}\n"
+                    f"video.hidden_dim= {v.get('hidden_dim')}\n"
+                    f"video.output_dim= {v.get('output_dim', cfg.model.output_dim)}\n"
                 )
                 all_results.append(result)
 

@@ -1,0 +1,105 @@
+"""The committed sweep corpus must match the reference's
+``grid_sweep_results/`` layout (tag names, per-tag artifact set, artifact
+schemas) — proof the 3x2x2 sweep driver ran end-to-end for real
+(scripts/make_sweep_corpus.py: synthetic RAVDESS media -> ETL CLI ->
+tools/sweep.py on chip), not just under a monkeypatched train call.
+
+Reference contract: /root/reference/sweep.sh:27-29 (grid),
+grid_sweep_results/<tag>/{results.json, confusion_matrix.{npy,png},
+metrics.csv, hyperparams.txt} (harvest at sweep.sh:130-173).
+"""
+
+import csv
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+CORPUS = Path(__file__).resolve().parents[1] / "sweep_results_synthetic"
+
+# same grid as the reference (sweep.sh:27-29) -> same 12 tags
+EXPECTED_TAGS = [
+    f"lr{lr}_drop{d}_mDrop{m}"
+    for lr in ("0p0005", "0p001", "0p002")
+    for d in ("0p0", "0p1")
+    for m in ("0p0", "0p05")
+]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    if not CORPUS.exists():
+        pytest.skip("sweep corpus not generated yet "
+                    "(scripts/make_sweep_corpus.py)")
+    return CORPUS
+
+
+def test_corpus_has_reference_tag_set(corpus):
+    tags = sorted(p.name for p in corpus.iterdir() if p.is_dir())
+    ref_tags = sorted(
+        p.name for p in Path("/root/reference/grid_sweep_results").iterdir()
+        if p.is_dir()
+    )
+    assert tags == sorted(EXPECTED_TAGS)
+    assert tags == ref_tags  # byte-identical tag scheme
+
+
+def test_corpus_per_tag_artifacts(corpus):
+    for tag in EXPECTED_TAGS:
+        d = corpus / tag
+        missing = [
+            f for f in ("results.json", "confusion_matrix.npy",
+                        "confusion_matrix.png", "metrics.csv",
+                        "hyperparams.txt", "best.ckpt")
+            if not (d / f).exists()
+        ]
+        assert not missing, f"{tag} missing {missing}"
+
+
+def test_corpus_results_json_schema(corpus):
+    ref = json.loads(
+        (Path("/root/reference/grid_sweep_results")
+         / "lr0p0005_drop0p0_mDrop0p0" / "results.json").read_text()
+    )
+    for tag in EXPECTED_TAGS:
+        r = json.loads((corpus / tag / "results.json").read_text())
+        # reference top-level keys all present (superset allowed)
+        assert set(ref.keys()) <= set(r.keys()), tag
+        assert isinstance(r["best_val_loss"], float)
+        assert np.isfinite(r["best_val_loss"])
+        cfg = r["config"]
+        for section in ("seed", "experiment", "dataset", "model", "training"):
+            assert section in cfg, (tag, section)
+
+
+def test_corpus_confusion_and_metrics(corpus):
+    for tag in EXPECTED_TAGS:
+        cm = np.load(corpus / tag / "confusion_matrix.npy")
+        assert cm.shape == (8, 8)
+        assert cm.sum() == 24  # the synthetic test split size
+        with open(corpus / tag / "metrics.csv") as f:
+            cols = next(csv.reader(f))
+        # the reference's Lightning CSV columns (metrics.csv row 1)
+        for col in ("lr-AdamW", "step", "val/loss", "val/acc", "epoch",
+                    "train/loss", "train/acc", "test/loss", "test/acc",
+                    "test/acc_agg"):
+            assert col in cols, (tag, col)
+
+
+def test_corpus_learned_and_manifest(corpus):
+    """The media are learnable (per-emotion tone + brightness), so at least
+    the best grid point must beat chance by a wide margin — evidence of a
+    real training run, not a stub."""
+    accs = {}
+    for tag in EXPECTED_TAGS:
+        cm = np.load(corpus / tag / "confusion_matrix.npy")
+        accs[tag] = np.trace(cm) / cm.sum()
+        manifest = (corpus / tag / "hyperparams.txt").read_text()
+        for field in ("experiment.name", "learning_rate", "model.dropout",
+                      "modality_dropout", "model.output_dim"):
+            assert field in manifest, (tag, field)
+    assert max(accs.values()) > 0.5, accs  # chance is 0.125
+    summary = json.loads((corpus / "sweep_summary.json").read_text())
+    assert len(summary) == 12
+    assert {r["tag"] for r in summary} == set(EXPECTED_TAGS)

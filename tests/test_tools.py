@@ -127,7 +127,10 @@ def test_sequential_sweep_driver(tmp_path, monkeypatch):
     )
     from tests.test_train import tiny_config
 
-    assert format_tag(5e-4, 0.0, 0.1) == "lr0p0005_drop0_mDrop0p1"
+    # the reference's tag literals keep "0p0" for 0.0
+    # (grid_sweep_results/lr0p0005_drop0p0_mDrop0p0)
+    assert format_tag(5e-4, 0.0, 0.1) == "lr0p0005_drop0p0_mDrop0p1"
+    assert format_tag(1e-3, 0.0, 0.05) == "lr0p001_drop0p0_mDrop0p05"
 
     cfg = tiny_config()
     cfg.training.max_epochs = 1
