@@ -1,0 +1,49 @@
+"""Pinned numerics envelopes for the Pallas recurrence kernels.
+
+Round 2's r2u2-r2u6 probe chain established that the on-chip divergence
+between the 2-layer training-forward kernel and the XLA scan is fp-chaos,
+not corruption: layer-0 streams are BITWISE equal, layer-1 diverges only
+because its two-dot gate step tiles differently on the MXU, and a
+pure-XLA control (split-dot vs concat-dot) diverges identically
+(benchmarks/r2u6_tpu.json, docs/KERNELS.md "Numerics").
+
+These constants promote that probe evidence into asserted CI:
+
+* tests/test_kernel_numerics.py — interpret-mode strict equality at
+  matmul_precision=highest (catches math bugs on any backend);
+* scripts/chip_numerics_gate.py — on-chip gate asserting layer-0 bitwise
+  equality and layer-1 divergence within this envelope (catches Mosaic
+  lowering regressions that interpret mode cannot see — round 1 proved
+  those happen).
+
+Envelope = measured r2u6 rel_final x ~1.5 headroom (same fixed seeds make
+the measurement deterministic per compiler version; headroom absorbs
+XLA/Mosaic tiling changes).  A REAL kernel bug is shape-independent O(1)
+error (r2u6 probe A), which blows through these bounds at every T.
+"""
+
+# max |ys_kernel - ys_scan| / max|ys_scan| at T, fixed seeds (r2u6 probe A
+# measured: 0.0097 @ 50, 0.0160 @ 100, 0.0258 @ 200, 0.0848 @ 375)
+LSTM2_TRAIN_FWD_REL_ENVELOPE = {
+    50: 0.015,
+    100: 0.025,
+    200: 0.040,
+    375: 0.13,
+}
+
+# layer-0 streams (g0, h0, c0) must stay BITWISE equal to the scan on chip
+# (r2u4): layer 0 is a single-dot gate step, so both paths issue the same
+# MXU tiling.  Any nonzero diff here is a kernel bug, never chaos.
+LSTM2_LAYER0_BITWISE = 0.0
+
+# production-path gradient self-consistency: |fd - <g,v>|/|fd| for the
+# directional-derivative check at eps=1e-2 (r2u6 probe B measured ~1e-4;
+# the XLA control measured the same order)
+GRAD_DIRECTIONAL_REL = 5e-3
+
+# interpret-mode strictness at matmul_precision=highest: no MXU-tiling
+# chaos, but the kernel's chunked in-kernel input projection vs the scan's
+# hoisted one still reorders fp reductions, and the recurrence amplifies
+# that to ~3e-5 by T=375 (measured).  1e-4 sits above that noise and 3-4
+# orders below any real math bug (which lands at O(0.1-1)).
+INTERPRET_STRICT_ATOL = 1e-4

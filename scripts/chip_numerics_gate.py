@@ -1,0 +1,144 @@
+"""On-chip numerics gate for the Pallas recurrence kernels.
+
+Run on the real TPU (e.g. via the verify skill) after touching any kernel
+or bumping the toolchain:
+
+    python scripts/chip_numerics_gate.py
+
+Asserts, with the r2u6 fixed seeds (ops/envelope.py):
+
+1. layer-0 streams (g0, h0, c0) BITWISE equal to the XLA scan — layer 0
+   is a single-dot gate step, so both paths issue the same MXU tiling;
+   any nonzero diff is a kernel bug, never chaos;
+2. layer-1 ys divergence within the pinned chaos envelope at every T —
+   a real bug is shape-independent O(1) error and fails every row;
+3. production-path (fwd kernel + fused bwd kernel) gradients consistent
+   with their own forward via a directional-derivative check.
+
+Exit 0 = PASS (prints one JSON line); nonzero = gate failed.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    from multimodal_emotion_detection_tpu.utils.runtime import setup_jax
+
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import multimodal_emotion_detection_tpu.ops.lstm_vjp as lv
+    from multimodal_emotion_detection_tpu.ops.envelope import (
+        GRAD_DIRECTIONAL_REL,
+        LSTM2_LAYER0_BITWISE,
+        LSTM2_TRAIN_FWD_REL_ENVELOPE,
+    )
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        lstm2_train_fwd_pallas,
+    )
+
+    b, d, h = 32, 64, 256
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    params = tuple(
+        {"w_ih": 0.2 * jax.random.normal(ks[2 + 2 * i], (d if i == 0 else h,
+                                                         4 * h)),
+         "w_hh": 0.2 * jax.random.normal(ks[3 + 2 * i], (h, 4 * h)),
+         "b": jnp.full((4 * h,), 0.02)}
+        for i in range(2)
+    )
+
+    def cell(hc, gates):
+        h_, c_ = hc
+        i = jax.nn.sigmoid(gates[..., :h])
+        f = jax.nn.sigmoid(gates[..., h:2 * h])
+        g = jnp.tanh(gates[..., 2 * h:3 * h])
+        o = jax.nn.sigmoid(gates[..., 3 * h:])
+        c_n = f * c_ + i * g
+        return jnp.tanh(c_n) * o, c_n
+
+    @jax.jit
+    def ref_streams(x_tm, keep):
+        ih0 = x_tm @ params[0]["w_ih"] + params[0]["b"]
+
+        def step(carry, inp):
+            (h0, c0, h1, c1) = carry
+            ih0_t, keep_t = inp
+            g0 = ih0_t + h0 @ params[0]["w_hh"]
+            h0n, c0n = cell((h0, c0), g0)
+            x1 = h0n * keep_t
+            g1 = (x1 @ params[1]["w_ih"] + params[1]["b"]
+                  + h1 @ params[1]["w_hh"])
+            h1n, c1n = cell((h1, c1), g1)
+            return (h0n, c0n, h1n, c1n), (g0, h0n, c0n, h1n)
+
+        z = jnp.zeros((x_tm.shape[1], h), jnp.float32)
+        _, (g0s, h0s, c0s, ys) = jax.lax.scan(step, (z, z, z, z),
+                                              (ih0, keep))
+        return g0s, h0s, c0s, ys
+
+    report: dict = {"platform": jax.default_backend()}
+    failures = []
+
+    for t, bound in sorted(LSTM2_TRAIN_FWD_REL_ENVELOPE.items()):
+        x_tm = jax.random.normal(ks[0], (t, b, d))
+        keep = (jax.random.uniform(ks[1], (t, b, h)) > 0.2).astype(
+            jnp.float32)
+        g0r, h0r, c0r, ys_r = (np.asarray(a) for a in ref_streams(x_tm, keep))
+        out = jax.jit(
+            lambda x, k: lstm2_train_fwd_pallas(x, k, params[0], params[1])
+        )(x_tm, keep)
+        ys_k, _, g0k, _, h0k, c0k, _ = (np.asarray(a) for a in out)
+
+        layer0 = max(np.abs(g0k - g0r).max(), np.abs(h0k - h0r).max(),
+                     np.abs(c0k - c0r).max())
+        rel = float(np.abs(ys_k - ys_r).max()
+                    / max(np.abs(ys_r).max(), 1e-6))
+        report[f"T{t}"] = {"layer0_absmax": float(layer0),
+                           "ys_rel": rel, "envelope": bound}
+        if layer0 > LSTM2_LAYER0_BITWISE:
+            failures.append(f"T={t}: layer-0 streams not bitwise "
+                            f"(absmax {layer0:.3e}) — kernel bug")
+        if rel > bound:
+            failures.append(f"T={t}: ys divergence {rel:.4f} exceeds "
+                            f"envelope {bound}")
+
+    # production-path gradient self-consistency at T=375
+    t = 375
+    x_tm = jax.random.normal(ks[0], (t, b, d))
+    keep = (jax.random.uniform(ks[1], (t, b, h)) > 0.2).astype(jnp.float32)
+    x_bm = jnp.transpose(x_tm, (1, 0, 2))
+    keep_bm = jnp.transpose(keep, (1, 0, 2))[:, :, None, :]
+    lv.set_fwd_kernel_mode("auto")
+    lv.set_bwd_kernel_mode("auto")
+
+    def loss(x):
+        hf = lv.fused_lstm_final(x, keep_bm, params)
+        return jnp.sum(hf * jnp.sin(hf)) / (b * h)
+
+    loss_j, grad_j = jax.jit(loss), jax.jit(jax.grad(loss))
+    v = jax.random.normal(ks[6], x_bm.shape)
+    v = v / jnp.linalg.norm(v)
+    directional = float(jnp.vdot(grad_j(x_bm), v))
+    eps = 1e-2
+    fd = float((loss_j(x_bm + eps * v) - loss_j(x_bm - eps * v)) / (2 * eps))
+    grad_rel = abs(fd - directional) / max(abs(fd), 1e-9)
+    report["grad_directional_rel"] = grad_rel
+    if grad_rel > GRAD_DIRECTIONAL_REL:
+        failures.append(f"directional-derivative mismatch rel {grad_rel:.2e}")
+
+    report["pass"] = not failures
+    report["failures"] = failures
+    print(json.dumps(report))
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
