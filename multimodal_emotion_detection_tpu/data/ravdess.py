@@ -68,6 +68,20 @@ def load_filepaths(root_dir: str, ext: str) -> List[Path]:
     return sorted(Path(root_dir).rglob(f"*{ext}"))
 
 
+def build_stem_map(filepaths: List[Path]) -> Dict[str, Path]:
+    """Full-stem index with duplicate detection
+    (/root/reference/src/dataprocessing.py:131-141; superseded by
+    build_join_key_map in the join flow, kept for API completeness)."""
+    stem_map: Dict[str, Path] = {}
+    for fp in filepaths:
+        if fp.stem in stem_map:
+            raise ValueError(
+                f"Duplicate stem: {fp.stem} for {fp} and {stem_map[fp.stem]}"
+            )
+        stem_map[fp.stem] = fp
+    return stem_map
+
+
 def build_join_key_map(filepaths: List[Path]) -> Dict[str, Path]:
     """Key files by the last 6 stem fields so audio/video join even when
     the modality code differs; on collision prefer modality 01 > 02 > 03."""

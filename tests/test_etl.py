@@ -359,3 +359,19 @@ def test_wav_reader_crisp_error_on_non_pcm(tmp_path):
     p.write_bytes(blob)
     with pytest.raises(ValueError, match="plain-PCM"):
         read_wav(p)
+
+
+def test_build_stem_map(tmp_path):
+    from multimodal_emotion_detection_tpu.data.ravdess import build_stem_map
+
+    p1 = tmp_path / "03-01-01-01-01-01-01.wav"
+    p2 = tmp_path / "03-01-02-01-01-01-01.wav"
+    p1.touch(); p2.touch()
+    m = build_stem_map([p1, p2])
+    assert m["03-01-01-01-01-01-01"] == p1
+    d = tmp_path / "sub"
+    d.mkdir()
+    dup = d / "03-01-01-01-01-01-01.wav"
+    dup.touch()
+    with pytest.raises(ValueError, match="Duplicate stem"):
+        build_stem_map([p1, dup])
