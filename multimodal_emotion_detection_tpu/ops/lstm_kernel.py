@@ -1594,3 +1594,507 @@ def gru2_bwd_kernel_supported(batch: int, t_len: int, h_dim: int,
         + 2 * tile * h_dim * 4
     )
     return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and t_len >= 1
+
+
+# ---------------------------------------------------------------------------
+# Residual-native training path (round 3).
+#
+# The round-2 interface returned residuals as XLA slices of one packed
+# kernel output, and the VJP then shift-copied the h/c series and
+# re-padded everything for the backward kernel.  On-chip profiling
+# (benchmarks/r3a_tpu.json + /tmp/r3a_trace) showed that post-processing
+# as the #2 time sink of the whole train step: ~0.30 ms/step for the g0/g1
+# slice alone (fusion.358, 195 MB of pure data movement) plus the shift /
+# pad / x1 fusions — against a 1.70 ms device step.
+#
+# v2 removes every copy by emitting residuals EXACTLY as consumed:
+#  * the per-step PRE-step state (h_prev/c_prev) is written directly —
+#    the shift the VJP used to build is just "write the state you already
+#    hold before updating it";
+#  * streams are grouped by consumer: one packed [g0|g1|c0p|c1p] buffer
+#    for the reverse-chain kernel (one DMA per chunk on both sides), and
+#    separate h0_prev / h1_prev / x1 buffers for the hoisted
+#    weight-gradient contractions;
+#  * pad rows carry zeroed x1/keep and the backward zeroes padded dgates,
+#    so contractions run over t_pad with no unpad slicing anywhere.
+# ---------------------------------------------------------------------------
+
+RES2_G0 = 0      # lane offsets (units of H) in the packed bwd-input buffer
+RES2_G1 = 4
+RES2_C0P = 8
+RES2_C1P = 9
+RES2_W = 10      # packed width in units of H
+
+
+def _lstm2_fwd_res_kernel(
+    ih0_hbm,    # (T_pad, B, 4H) ANY — hoisted layer-0 input projections
+    keep_hbm,   # (T_pad, B, H) ANY — keep mask (zero at pad rows)
+    w_hh0_ref,  # (H, 4H) VMEM
+    w_ih1_ref,  # (H, 4H) VMEM
+    b1_ref,     # (1, 4H) VMEM
+    w_hh1_ref,  # (H, 4H) VMEM
+    pk_hbm,     # (T_pad, B, 10H) ANY out — packed [g0|g1|c0_prev|c1_prev]
+    h0p_hbm,    # (T_pad, B, H) ANY out — layer-0 h_prev series
+    h1p_hbm,    # (T_pad, B, H) ANY out — layer-1 h_prev series
+    x1_hbm,     # (T_pad, B, H) ANY out — layer-1 input series h0_new*keep
+    fin_ref,    # (4, B, H) VMEM out — finals [h0, c0, h1, c1]
+    *,
+    t_len: int,
+    chunk: int,
+    tile_b: int,
+    full_unroll: bool,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = tile_b
+    h_dim = w_hh0_ref.shape[0]
+    g4 = 4 * h_dim
+    num_chunks = ih0_hbm.shape[0] // chunk
+    b0 = pl.program_id(0) * tile_b
+
+    def body(ih_buf, keep_buf, pk_buf, h0p_buf, h1p_buf, x1_buf,
+             in_sem, out_sem, state_buf):
+        state_buf[:] = jnp.zeros((4, batch, h_dim), jnp.float32)
+        w_hh0 = w_hh0_ref[:]
+        w_ih1 = w_ih1_ref[:]
+        b1 = b1_ref[:]
+        w_hh1 = w_hh1_ref[:]
+
+        def dma_in(slot, ci):
+            start = ci * chunk
+            return [
+                pltpu.make_async_copy(
+                    ih0_hbm.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
+                    ih_buf.at[slot], in_sem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    keep_hbm.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
+                    keep_buf.at[slot], in_sem.at[slot, 1],
+                ),
+            ]
+
+        def dma_out(slot, ci):
+            row = pl.ds(ci * chunk, chunk)
+            cols = pl.ds(b0, tile_b)
+            return [
+                pltpu.make_async_copy(
+                    pk_buf.at[slot], pk_hbm.at[row, cols],
+                    out_sem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    h0p_buf.at[slot], h0p_hbm.at[row, cols],
+                    out_sem.at[slot, 1],
+                ),
+                pltpu.make_async_copy(
+                    h1p_buf.at[slot], h1p_hbm.at[row, cols],
+                    out_sem.at[slot, 2],
+                ),
+                pltpu.make_async_copy(
+                    x1_buf.at[slot], x1_hbm.at[row, cols],
+                    out_sem.at[slot, 3],
+                ),
+            ]
+
+        for cpy in dma_in(0, 0):
+            cpy.start()
+
+        def chunk_body(ci, _):
+            slot = ci % 2
+
+            @pl.when(ci + 1 < num_chunks)
+            def _():
+                for cpy in dma_in((ci + 1) % 2, ci + 1):
+                    cpy.start()
+
+            for cpy in dma_in(slot, ci):
+                cpy.wait()
+
+            @pl.when(ci >= 2)
+            def _():
+                for cpy in dma_out(slot, ci - 2):
+                    cpy.wait()
+
+            def step(s, _):
+                t = ci * chunk + s
+                h0 = state_buf[0]
+                c0 = state_buf[1]
+                h1 = state_buf[2]
+                c1 = state_buf[3]
+                gates0 = ih_buf[slot, s] + jnp.dot(
+                    h0, w_hh0, preferred_element_type=jnp.float32
+                )
+                h0n, c0n = _cell(h0, c0, gates0)
+                x1 = h0n * keep_buf[slot, s]
+                gates1 = (
+                    jnp.dot(x1, w_ih1, preferred_element_type=jnp.float32)
+                    + b1
+                    + jnp.dot(h1, w_hh1, preferred_element_type=jnp.float32)
+                )
+                h1n, c1n = _cell(h1, c1, gates1)
+                valid = t < t_len
+                # residuals as consumed: gate pre-activations + PRE-step
+                # state (the "shift" is free here)
+                pk_buf[slot, s, :, RES2_G0 * h_dim:RES2_G1 * h_dim] = gates0
+                pk_buf[slot, s, :, RES2_G1 * h_dim:RES2_C0P * h_dim] = gates1
+                pk_buf[slot, s, :,
+                       RES2_C0P * h_dim:RES2_C1P * h_dim] = c0
+                pk_buf[slot, s, :, RES2_C1P * h_dim:RES2_W * h_dim] = c1
+                h0p_buf[slot, s] = h0
+                h1p_buf[slot, s] = h1
+                x1_buf[slot, s] = x1
+                state_buf[0] = jnp.where(valid, h0n, h0)
+                state_buf[1] = jnp.where(valid, c0n, c0)
+                state_buf[2] = jnp.where(valid, h1n, h1)
+                state_buf[3] = jnp.where(valid, c1n, c1)
+                return 0
+
+            jax.lax.fori_loop(0, chunk, step, 0,
+                              unroll=chunk if full_unroll else 1)
+            for cpy in dma_out(slot, ci):
+                cpy.start()
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+        @pl.when(num_chunks >= 2)
+        def _():
+            for cpy in dma_out(num_chunks % 2, num_chunks - 2):
+                cpy.wait()
+
+        for cpy in dma_out((num_chunks - 1) % 2, num_chunks - 1):
+            cpy.wait()
+        fin_ref[0, pl.ds(b0, tile_b)] = state_buf[0]
+        fin_ref[1, pl.ds(b0, tile_b)] = state_buf[1]
+        fin_ref[2, pl.ds(b0, tile_b)] = state_buf[2]
+        fin_ref[3, pl.ds(b0, tile_b)] = state_buf[3]
+
+    pl.run_scoped(
+        body,
+        ih_buf=pltpu.VMEM((2, chunk, batch, g4), jnp.float32),
+        keep_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        pk_buf=pltpu.VMEM((2, chunk, batch, RES2_W * h_dim), jnp.float32),
+        h0p_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        h1p_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        x1_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        in_sem=pltpu.SemaphoreType.DMA((2, 2)),
+        out_sem=pltpu.SemaphoreType.DMA((2, 4)),
+        state_buf=pltpu.VMEM((4, batch, h_dim), jnp.float32),
+    )
+
+
+def lstm2_train_fwd_residuals(
+    x_tm: jnp.ndarray,     # (T, B, D) time-major input
+    keep_tm: jnp.ndarray,  # (T, B, H) inter-layer keep mask
+    layer0: Dict[str, jnp.ndarray],
+    layer1: Dict[str, jnp.ndarray],
+    chunk: int = None,
+    interpret: bool = False,
+    full_unroll: bool = None,
+):
+    """Forward with consumer-shaped residuals (zero post-processing).
+
+    Returns ``(packed, h0_prev, h1_prev, x1, keep_pad, finals, t_pad)``:
+    ``packed`` (t_pad, B, 10H) = [g0|g1|c0_prev|c1_prev] for the fused
+    reverse-chain kernel; ``h0_prev``/``h1_prev``/``x1`` (t_pad, B, H) for
+    the hoisted weight-gradient contractions; ``keep_pad`` the zero-padded
+    keep mask (reused by the backward); ``finals`` (4, B, H) =
+    [h0, c0, h1, c1] at the last valid step.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    chunk = FWD_CHUNK if chunk is None else chunk
+    full_unroll = FWD_TRAIN_UNROLL if full_unroll is None else full_unroll
+    t_len, batch, _ = x_tm.shape
+    h_dim = layer0["w_hh"].shape[0]
+    g4 = 4 * h_dim
+
+    ih0 = (
+        x_tm.astype(jnp.float32) @ layer0["w_ih"].astype(jnp.float32)
+        + layer0["b"].astype(jnp.float32)
+    )
+    # pad to a multiple of BOTH chunk lengths so the backward re-pads
+    # nothing (flagship T=372 with chunk 4: pad == 0)
+    align = max(chunk, BWD2_CHUNK)
+    t_pad = ((t_len + align - 1) // align) * align
+    pad = t_pad - t_len
+    keep = keep_tm.astype(jnp.float32)
+    if pad:
+        ih0 = jnp.pad(ih0, ((0, pad), (0, 0), (0, 0)))
+        keep = jnp.pad(keep, ((0, pad), (0, 0), (0, 0)))
+
+    tile_b = _pick_tile_b(batch)
+    kernel = functools.partial(_lstm2_fwd_res_kernel, t_len=t_len,
+                               chunk=chunk, tile_b=tile_b,
+                               full_unroll=full_unroll)
+    f32 = jnp.float32
+    packed, h0p, h1p, x1, finals = pl.pallas_call(
+        kernel,
+        grid=(batch // tile_b,),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, batch, RES2_W * h_dim), f32),
+            jax.ShapeDtypeStruct((t_pad, batch, h_dim), f32),
+            jax.ShapeDtypeStruct((t_pad, batch, h_dim), f32),
+            jax.ShapeDtypeStruct((t_pad, batch, h_dim), f32),
+            jax.ShapeDtypeStruct((4, batch, h_dim), f32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        ih0,
+        keep,
+        layer0["w_hh"].astype(f32),
+        layer1["w_ih"].astype(f32),
+        layer1["b"].astype(f32).reshape(1, -1),
+        layer1["w_hh"].astype(f32),
+    )
+    return packed, h0p, h1p, x1, keep, finals, t_pad
+
+
+def res2_kernel_supported(batch: int, t_len: int, h_dim: int,
+                          chunk: int = None,
+                          allow_large: bool = False,
+                          f32_large: bool = False) -> bool:
+    """VMEM feasibility for the residual-native fwd kernel (13H streams)."""
+    chunk = FWD_CHUNK if chunk is None else chunk
+    cap = _AUTO_MAX_BATCH_F32 if f32_large else _AUTO_MAX_BATCH
+    if batch > cap and not allow_large:
+        return False
+    tile = _pick_tile_b(batch)
+    if batch % tile != 0 or tile < 8:
+        return False
+    vmem = (
+        2 * chunk * tile * (5 * h_dim + (RES2_W + 3) * h_dim) * 4
+        + 3 * h_dim * 4 * h_dim * 4
+        + 4 * tile * h_dim * 4
+    )
+    return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and t_len >= 1
+
+
+def _lstm2_bwd_res_kernel(
+    pk_hbm,     # (T_pad, B, 10H) ANY — packed [g0|g1|c0_prev|c1_prev]
+    keep_hbm,   # (T_pad, B, H) ANY
+    *maybe_dys_and_rest,
+    t_len: int,
+    chunk: int,
+    tile_b: int,
+    full_unroll: bool,
+    has_dys: bool,
+):
+    """v2 reverse chain reading the packed residual buffer directly."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if has_dys:
+        (dys_hbm, dhf_ref, w_hh1_t_ref, w_ih1_t_ref, w_hh0_t_ref,
+         dg0_hbm, dg1_hbm) = maybe_dys_and_rest
+    else:
+        (dhf_ref, w_hh1_t_ref, w_ih1_t_ref, w_hh0_t_ref,
+         dg0_hbm, dg1_hbm) = maybe_dys_and_rest
+        dys_hbm = None
+
+    batch = tile_b
+    h_dim = dhf_ref.shape[1]
+    g4 = 4 * h_dim
+    num_chunks = pk_hbm.shape[0] // chunk
+    b0 = pl.program_id(0) * tile_b
+
+    def body(pk_buf, keep_buf, dg0_buf, dg1_buf, in_sem, out_sem,
+             state_buf, dys_buf=None):
+        state_buf[0] = dhf_ref[pl.ds(b0, tile_b)]
+        state_buf[1] = jnp.zeros((batch, h_dim), jnp.float32)
+        state_buf[2] = jnp.zeros((batch, h_dim), jnp.float32)
+        state_buf[3] = jnp.zeros((batch, h_dim), jnp.float32)
+        w_hh1_t = w_hh1_t_ref[:]
+        w_ih1_t = w_ih1_t_ref[:]
+        w_hh0_t = w_hh0_t_ref[:]
+
+        def dma_in(slot, ci):
+            start = ci * chunk
+            srcs = [pk_hbm, keep_hbm]
+            bufs = [pk_buf, keep_buf]
+            if has_dys:
+                srcs.append(dys_hbm)
+                bufs.append(dys_buf)
+            return [
+                pltpu.make_async_copy(
+                    src.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
+                    buf.at[slot], in_sem.at[slot, i],
+                )
+                for i, (src, buf) in enumerate(zip(srcs, bufs))
+            ]
+
+        def dma_out(slot, ci):
+            row = pl.ds(ci * chunk, chunk)
+            cols = pl.ds(b0, tile_b)
+            return [
+                pltpu.make_async_copy(
+                    dg0_buf.at[slot], dg0_hbm.at[row, cols],
+                    out_sem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    dg1_buf.at[slot], dg1_hbm.at[row, cols],
+                    out_sem.at[slot, 1],
+                ),
+            ]
+
+        for cpy in dma_in(0, num_chunks - 1):
+            cpy.start()
+
+        def chunk_body(k, _):
+            ci = num_chunks - 1 - k
+            slot = k % 2
+
+            @pl.when(ci - 1 >= 0)
+            def _():
+                for cpy in dma_in((k + 1) % 2, ci - 1):
+                    cpy.start()
+
+            for cpy in dma_in(slot, ci):
+                cpy.wait()
+
+            @pl.when(k >= 2)
+            def _():
+                for cpy in dma_out(slot, ci + 2):
+                    cpy.wait()
+
+            def step(s_fwd, _):
+                s = chunk - 1 - s_fwd
+                t = ci * chunk + s
+                g0 = pk_buf[slot, s, :, RES2_G0 * h_dim:RES2_G1 * h_dim]
+                g1 = pk_buf[slot, s, :, RES2_G1 * h_dim:RES2_C0P * h_dim]
+                cp0 = pk_buf[slot, s, :, RES2_C0P * h_dim:RES2_C1P * h_dim]
+                cp1 = pk_buf[slot, s, :, RES2_C1P * h_dim:RES2_W * h_dim]
+                dh1_t = state_buf[0]
+                if has_dys:
+                    dh1_t = dh1_t + dys_buf[slot, s]
+                dgates1, dc1_prev = _cell_bwd(
+                    g1, cp1, dh1_t, state_buf[1], h_dim,
+                )
+                dh1_prev = jnp.dot(
+                    dgates1, w_hh1_t, preferred_element_type=jnp.float32
+                )
+                dx1 = jnp.dot(
+                    dgates1, w_ih1_t, preferred_element_type=jnp.float32
+                )
+                dh0_t = state_buf[2] + dx1 * keep_buf[slot, s]
+                dgates0, dc0_prev = _cell_bwd(
+                    g0, cp0, dh0_t, state_buf[3], h_dim,
+                )
+                dh0_prev = jnp.dot(
+                    dgates0, w_hh0_t, preferred_element_type=jnp.float32
+                )
+                valid = t < t_len
+                dg0_buf[slot, s] = jnp.where(valid, dgates0, 0.0)
+                dg1_buf[slot, s] = jnp.where(valid, dgates1, 0.0)
+                state_buf[0] = jnp.where(valid, dh1_prev, state_buf[0])
+                state_buf[1] = jnp.where(valid, dc1_prev, state_buf[1])
+                state_buf[2] = jnp.where(valid, dh0_prev, state_buf[2])
+                state_buf[3] = jnp.where(valid, dc0_prev, state_buf[3])
+                return 0
+
+            jax.lax.fori_loop(0, chunk, step, 0,
+                              unroll=chunk if full_unroll else 1)
+            for cpy in dma_out(slot, ci):
+                cpy.start()
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+        @pl.when(num_chunks >= 2)
+        def _():
+            for cpy in dma_out(num_chunks % 2, 1):
+                cpy.wait()
+
+        for cpy in dma_out((num_chunks - 1) % 2, 0):
+            cpy.wait()
+
+    scratch = dict(
+        pk_buf=pltpu.VMEM((2, chunk, batch, RES2_W * h_dim), jnp.float32),
+        keep_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        dg0_buf=pltpu.VMEM((2, chunk, batch, g4), jnp.float32),
+        dg1_buf=pltpu.VMEM((2, chunk, batch, g4), jnp.float32),
+        in_sem=pltpu.SemaphoreType.DMA((2, 3 if has_dys else 2)),
+        out_sem=pltpu.SemaphoreType.DMA((2, 2)),
+        state_buf=pltpu.VMEM((4, batch, h_dim), jnp.float32),
+    )
+    if has_dys:
+        scratch["dys_buf"] = pltpu.VMEM((2, chunk, batch, h_dim),
+                                        jnp.float32)
+    pl.run_scoped(body, **scratch)
+
+
+def lstm2_bwd_chain_padded(
+    packed: jnp.ndarray,    # (T_pad, B, 10H) from lstm2_train_fwd_residuals
+    keep_pad: jnp.ndarray,  # (T_pad, B, H)
+    dys,                    # (T_pad, B, H) or None
+    dh_final: jnp.ndarray,  # (B, H)
+    w_hh0: jnp.ndarray,
+    w_hh1: jnp.ndarray,
+    w_ih1: jnp.ndarray,
+    t_len: int,
+    chunk: int = None,
+    interpret: bool = False,
+    full_unroll: bool = None,
+):
+    """v2 fused reverse chain over pre-padded consumer-shaped residuals.
+
+    Returns ``(dg0, dg1)`` each (T_pad, B, 4H) with pad rows ZERO, so the
+    hoisted weight-gradient contractions run over T_pad unsliced.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    chunk = BWD2_CHUNK if chunk is None else chunk
+    full_unroll = BWD2_UNROLL if full_unroll is None else full_unroll
+    t_pad, batch, w10 = packed.shape
+    h_dim = w10 // RES2_W
+    g4 = 4 * h_dim
+    assert t_pad % chunk == 0
+
+    f32 = jnp.float32
+    tile_b = _pick_tile_b(batch)
+    has_dys = dys is not None
+    kernel = functools.partial(_lstm2_bwd_res_kernel, t_len=t_len,
+                               chunk=chunk, tile_b=tile_b,
+                               full_unroll=full_unroll, has_dys=has_dys)
+    operands = [packed, keep_pad]
+    if has_dys:
+        operands.append(dys.astype(f32))
+    operands += [
+        dh_final.astype(f32),
+        w_hh1.astype(f32).T,
+        w_ih1.astype(f32).T,
+        w_hh0.astype(f32).T,
+    ]
+    dg0, dg1 = pl.pallas_call(
+        kernel,
+        grid=(batch // tile_b,),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, batch, g4), f32),
+            jax.ShapeDtypeStruct((t_pad, batch, g4), f32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (3 if has_dys else 2)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return dg0, dg1

@@ -138,6 +138,114 @@ def _fwd_kernel_ok(x_tm, params):
     return ok, interpret
 
 
+_RES2_MODE = "auto"  # 'auto' | 'off' — benchmark A/B toggle
+
+
+def set_res2_mode(mode: str) -> str:
+    global _RES2_MODE
+    prev = _RES2_MODE
+    _RES2_MODE = mode
+    return prev
+
+
+def _res2_ok(x_tm, params, interpret):
+    """Use the residual-native (v2) kernel pair when BOTH the fwd residual
+    kernel and the fused reverse-chain kernel qualify — the v2 layout has
+    no other consumer (the scan/layered fallbacks read the legacy
+    structure).  Round-3 lever: removes every residual slice/shift/pad
+    copy between forward and backward (benchmarks/r3a_tpu.json: ~0.3 ms of
+    the 1.7 ms step was the g0/g1 slice alone)."""
+    if _BWD_KERNEL_MODE == "off" or _RES2_MODE == "off":
+        return False
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        bwd2_kernel_supported,
+        res2_kernel_supported,
+    )
+
+    t_len, batch = x_tm.shape[0], x_tm.shape[1]
+    h_dim = params[0]["w_hh"].shape[0]
+    f32_large = x_tm.dtype == jnp.float32
+    return res2_kernel_supported(
+        batch, t_len, h_dim, allow_large=interpret, f32_large=f32_large
+    ) and bwd2_kernel_supported(
+        batch, t_len, h_dim, allow_large=interpret, f32_large=f32_large
+    )
+
+
+def _fwd_pallas_res2(x_tm, keep_tm, params, interpret):
+    """v2 kernel forward: residuals come out exactly as consumed."""
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        lstm2_train_fwd_residuals,
+    )
+
+    packed, h0p, h1p, x1, keep_pad, finals, t_pad = (
+        lstm2_train_fwd_residuals(
+            x_tm, keep_tm[:, 0], params[0], params[1], interpret=interpret
+        )
+    )
+    t_len = x_tm.shape[0]
+    # ys(t) = h1_prev(t+1) for t < T-1, ys(T-1) = h1_final; only built when
+    # the sequence output is actually consumed (DCE'd on the final-hidden
+    # path)
+    ys = jnp.concatenate([h1p[1:t_len], finals[2][None]], axis=0)
+    carry = ((finals[0], finals[1]), (finals[2], finals[3]))
+    res = {"res2": (packed, h0p, h1p, x1, keep_pad, finals)}
+    return carry, ys, res
+
+
+def _bwd_impl_res2(saved, dys, dh_final):
+    """Backward for the residual-native path: fused reverse-chain kernel
+    over the packed buffer, then unsliced contractions over t_pad (padded
+    dgates rows are zero, so pad rows contribute nothing)."""
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        lstm2_bwd_chain_padded,
+    )
+
+    x_tm, keep_tm, params, res, carry = saved
+    packed, h0p, h1p, x1, keep_pad, finals = res["res2"]
+    t_len, batch = x_tm.shape[0], x_tm.shape[1]
+    t_pad = packed.shape[0]
+    interpret = _FWD_KERNEL_MODE == "interpret" or (
+        _BWD_KERNEL_MODE == "interpret"
+    )
+
+    if dys is not None and t_pad != t_len:
+        dys = jnp.pad(dys, ((0, t_pad - t_len), (0, 0), (0, 0)))
+    dg0, dg1 = lstm2_bwd_chain_padded(
+        packed, keep_pad, dys, dh_final,
+        params[0]["w_hh"], params[1]["w_hh"], params[1]["w_ih"],
+        t_len, interpret=interpret,
+    )
+
+    x_pad = x_tm
+    if t_pad != t_len:
+        x_pad = jnp.pad(x_tm, ((0, t_pad - t_len), (0, 0), (0, 0)))
+
+    def flat(a):
+        return a.reshape(t_pad * batch, -1)
+
+    dparams = (
+        {
+            "w_ih": flat(x_pad).T @ flat(dg0),
+            "w_hh": flat(h0p).T @ flat(dg0),
+            "b": dg0.sum(axis=(0, 1)),
+        },
+        {
+            "w_ih": flat(x1).T @ flat(dg1),
+            "w_hh": flat(h1p).T @ flat(dg1),
+            "b": dg1.sum(axis=(0, 1)),
+        },
+    )
+    # d(keep) = d(x1) * h0_new; h0_new(t) = h0_prev(t+1), final from carry.
+    # keep is a dropout mask (no grad path in training) — XLA DCEs this.
+    dx_l = (dg1 @ params[1]["w_ih"].T)[:t_len]
+    h0_new = jnp.concatenate([h0p[1:t_len], finals[0][None]], axis=0)
+    dkeep_tm = (dx_l * h0_new)[:, None]  # (T, 1, B, H)
+    dkeep = jnp.transpose(dkeep_tm, (2, 0, 1, 3))
+    dx = jnp.swapaxes((dg0 @ params[0]["w_ih"].T)[:t_len], 0, 1)
+    return dx, dkeep, dparams
+
+
 def _fwd_pallas(x_tm, keep_tm, params, interpret):
     """Kernel forward; reconstructs the scan-path residual structure."""
     from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
@@ -319,7 +427,11 @@ def _fused_fwd(x, keep, params):
     keep_tm = _keep_tm(keep)
     use_kernel, interpret = _fwd_kernel_ok(x_tm, params)
     if use_kernel:
-        carry, ys, res = _fwd_pallas(x_tm, keep_tm, params, interpret)
+        if _res2_ok(x_tm, params, interpret):
+            carry, ys, res = _fwd_pallas_res2(x_tm, keep_tm, params,
+                                              interpret)
+        else:
+            carry, ys, res = _fwd_pallas(x_tm, keep_tm, params, interpret)
         dtype = x.dtype
         out = (jnp.swapaxes(ys, 0, 1).astype(dtype),
                carry[-1][0].astype(dtype))
@@ -337,6 +449,8 @@ def _fused_bwd(saved, grads):
 def _fused_bwd_impl(saved, dys, dh_final):
     """Shared backward; ``dys`` is time-major (T, B, H) or None (zero)."""
     x_tm, keep_tm, params, res, carry = saved
+    if isinstance(res, dict):  # residual-native (v2) kernel path
+        return _bwd_impl_res2(saved, dys, dh_final)
     n_layers = len(params)
 
     dgates_series = _bwd_dgates(res, keep_tm, params, dys, dh_final)
