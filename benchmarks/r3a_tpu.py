@@ -44,27 +44,33 @@ def watchdog(seconds=3000):
     signal.alarm(seconds)
 
 
-def timeit(fn, *args, reps=30, inner=1, warmup=3):
+def chained_ms(apply_fn, variables, x, K=50, reps=3):
+    """Per-call device time via K data-dependent iterations inside ONE jit
+    (single dispatch + single fetch).  Per-rep host syncing over the
+    tunneled backend costs ~22 ms RTT — an order of magnitude above the
+    ops being measured — so naive per-call timing is meaningless here."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(v, x0):
+        def body(c, _):
+            y = apply_fn(v, c)
+            leaf = jax.tree_util.tree_leaves(y)[0]
+            c2 = c * (1.0 + 1e-30 * jnp.sum(leaf).astype(jnp.float32)).astype(c.dtype)
+            return c2, ()
+
+        out, _ = jax.lax.scan(body, x0, None, length=K)
+        return jnp.sum(out)
+
+    float(np.asarray(run(variables, x)))  # compile + warm
     best = float("inf")
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    _sync(out)
     for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(inner):
-            out = fn(*args)
-        _sync(out)
-        best = min(best, (time.perf_counter() - t0) / inner)
-    return best
-
-
-def _sync(out):
-    import jax
-
-    leaves = jax.tree_util.tree_leaves(out)
-    if leaves:
-        np.asarray(leaves[-1])  # value fetch
+        v = float(np.asarray(run(variables, x)))
+        best = min(best, time.perf_counter() - t0)
+    assert v == v
+    return best / K * 1e3
 
 
 def main():
@@ -90,67 +96,45 @@ def main():
         xa = jnp.asarray(rng.randn(batch, 372, 64), dt)
         xv = jnp.asarray(rng.rand(batch, 24, 4096), dt)
 
-        # inference_kernel=False: the eval-only Pallas recurrence kernel has
-        # no differentiation rule; the train path (what we are decomposing)
+        # inference_kernel=False: the eval-only Pallas recurrence kernel
+        # has no differentiation rule; the train path (what we decompose)
         # runs the custom-VJP fused scan
         enc_a = SequenceEncoder(input_dim=64, hidden_dim=256, output_dim=128,
                                 num_layers=2, encoder_type="lstm", dtype=dt,
                                 inference_kernel=False)
         va = jax.jit(lambda k: enc_a.init(k, xa))(jax.random.PRNGKey(0))
-        f_a = jax.jit(lambda v, x: enc_a.apply(v, x, deterministic=True))
-        flush(f"audio_fwd_{tag}_ms", timeit(f_a, va, xa) * 1e3)
-
-        def loss_a(v, x):
-            return enc_a.apply(v, x, deterministic=True).sum()
-
-        g_a = jax.jit(jax.grad(loss_a))
-        flush(f"audio_fwdbwd_{tag}_ms", timeit(g_a, va, xa) * 1e3)
+        fwd_a = lambda v, x: enc_a.apply(v, x, deterministic=True)
+        flush(f"audio_fwd_{tag}_ms", chained_ms(fwd_a, va, xa))
+        grad_a = jax.grad(lambda v, x: jnp.sum(fwd_a(v, x)), argnums=1)
+        flush(f"audio_fwdbwd_{tag}_ms", chained_ms(grad_a, va, xa))
 
         enc_v = FrameEncoder(frame_dim=4096, hidden_dim=256, output_dim=128,
                              dtype=dt)
         vv = jax.jit(lambda k: enc_v.init(k, xv))(jax.random.PRNGKey(0))
-        f_v = jax.jit(lambda v, x: enc_v.apply(v, x, deterministic=True))
-        flush(f"video_fwd_{tag}_ms", timeit(f_v, vv, xv) * 1e3)
+        fwd_v = lambda v, x: enc_v.apply(v, x, deterministic=True)
+        flush(f"video_fwd_{tag}_ms", chained_ms(fwd_v, vv, xv))
+        grad_v = jax.grad(lambda v, x: jnp.sum(fwd_v(v, x)), argnums=1)
+        flush(f"video_fwdbwd_{tag}_ms", chained_ms(grad_v, vv, xv))
 
-        def loss_v(v, x):
-            return enc_v.apply(v, x, deterministic=True).sum()
-
-        g_v = jax.jit(jax.grad(loss_v))
-        flush(f"video_fwdbwd_{tag}_ms", timeit(g_v, vv, xv) * 1e3)
-
-    # ---- full-step decomposition at b32 (the headline config) ----
+    # ---- full-step timings (bench.py timers: state rebinding handles the
+    # donated-state contract; async dispatch amortizes the tunnel RTT) ----
     for batch, dtype, tag in ((32, "float32", "b32"),
                               (256, "bfloat16", "b256_bf16")):
         if tag == "b256_bf16":
             jax.config.update("jax_default_prng_impl", "rbg")
         state, step, feats, labels = B._build(
             "logmel_cached", batch, 256, compute_dtype=dtype, scan=False)
-        key = jax.random.PRNGKey(0)
-        idx = jnp.arange(batch, dtype=jnp.int32)
-        valid = jnp.ones((batch,), jnp.float32)
+        cps, _ = B._time_steps(state, step, feats, labels, batch, 256,
+                               warmup=3, iters=30)
+        flush(f"train_step_{tag}_clips_per_sec", cps)
+        flush(f"train_step_{tag}_ms", batch / cps * 1e3)
 
-        def full(state):
-            s, m = step(state, feats, labels, idx, valid, key)
-            return s, m
-
-        t_full = timeit(full, state, reps=30)
-        flush(f"train_step_{tag}_ms", t_full * 1e3)
-        flush(f"train_step_{tag}_clips_per_sec", batch / t_full)
-
-        # epoch-scan amortization: 8 steps per dispatch
         state_s, estep, feats_s, labels_s = B._build(
             "logmel_cached", batch, 256, compute_dtype=dtype, scan=True)
-        S = 8
-        mat = jnp.asarray(
-            (np.arange(S * batch).reshape(S, batch)) % 256, jnp.int32)
-        vmat = jnp.ones((S, batch), jnp.float32)
-
-        def epoch(state):
-            return estep(state, feats_s, labels_s, mat, vmat, key)
-
-        t_epoch = timeit(epoch, state_s, reps=10)
-        flush(f"epoch8_{tag}_ms_per_step", t_epoch / S * 1e3)
-        flush(f"epoch8_{tag}_clips_per_sec", S * batch / t_epoch)
+        cps, _ = B._time_epoch_scan(state_s, estep, feats_s, labels_s,
+                                    batch, 256, warmup=2, iters=8)
+        flush(f"epoch8_{tag}_clips_per_sec", cps)
+        flush(f"epoch8_{tag}_ms_per_step", batch / cps * 1e3)
         if tag == "b256_bf16":
             jax.config.update("jax_default_prng_impl", "threefry2x32")
 
@@ -159,14 +143,15 @@ def main():
         state, step, feats, labels = B._build(
             "logmel_cached", 32, 256, compute_dtype="float32", scan=False)
         key = jax.random.PRNGKey(0)
-        idx = jnp.arange(32, dtype=jnp.int32)
         valid = jnp.ones((32,), jnp.float32)
-        for _ in range(3):
-            state, m = step(state, feats, labels, idx, valid, key)
+        idxs = [jnp.asarray((np.arange(32) + i * 32) % 256, jnp.int32)
+                for i in range(13)]
+        for i in range(3):
+            state, m = step(state, feats, labels, idxs[i], valid, key)
         float(m["loss"])
         jax.profiler.start_trace("/tmp/r3a_trace")
-        for _ in range(10):
-            state, m = step(state, feats, labels, idx, valid, key)
+        for i in range(3, 13):
+            state, m = step(state, feats, labels, idxs[i], valid, key)
         float(m["loss"])
         jax.profiler.stop_trace()
         flush("trace", "/tmp/r3a_trace")
