@@ -51,7 +51,7 @@ def time_epoch(state, estep, feats, labels, batch, n_rows, S, reps=8,
         state, m = estep(state, feats, labels, mat, vmat, key)
         float(m["loss"][-1])
         best = min(best, time.perf_counter() - t0)
-    return S * batch / best
+    return S * batch / best, state  # donated input: caller must rebind
 
 
 def main():
@@ -68,18 +68,18 @@ def main():
                      scan=True)
     state, estep, feats, labels = built
     for S in (8, 16, 36):
-        cps = time_epoch(state, estep, feats, labels, 256, 256, S)
+        cps, state = time_epoch(state, estep, feats, labels, 256, 256, S)
         flush(f"b256_bf16_S{S}_cps", round(cps, 1))
 
     # ---- 2: batch 512 bf16 (n_rows 512) ----
     try:
         state5, estep5, feats5, labels5 = B._build(
             "logmel_cached", 512, 512, compute_dtype="bfloat16", scan=True)
-        cps = time_epoch(state5, estep5, feats5, labels5, 512, 512, 8,
-                         reps=6)
+        cps, state5 = time_epoch(state5, estep5, feats5, labels5, 512,
+                                 512, 8, reps=6)
         flush("b512_bf16_S8_cps", round(cps, 1))
-        cps = time_epoch(state5, estep5, feats5, labels5, 512, 512, 16,
-                         reps=4)
+        cps, state5 = time_epoch(state5, estep5, feats5, labels5, 512,
+                                 512, 16, reps=4)
         flush("b512_bf16_S16_cps", round(cps, 1))
     except Exception as e:  # noqa: BLE001
         flush("b512_error", repr(e))
@@ -97,7 +97,7 @@ def main():
         set_bwd_kernel_mode(real)
         st, es, ft, lb = B._build("logmel_cached", 256, 256,
                                   compute_dtype="bfloat16", scan=True)
-        cps = time_epoch(st, es, ft, lb, 256, 256, 8, reps=6)
+        cps, st = time_epoch(st, es, ft, lb, 256, 256, 8, reps=6)
         flush(f"b256_bf16_kernels_{tag}_cps", round(cps, 1))
     set_fwd_kernel_mode("auto")
     set_bwd_kernel_mode("auto")
