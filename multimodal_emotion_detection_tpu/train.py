@@ -114,6 +114,12 @@ def run(config: Config, overrides=None, resume: bool = False) -> dict:
     )
     for name, value in test_metrics.items():
         print(f"{name}: {value:.4f}")
+    # Lightning's trainer.test logs a final test row into the same CSV
+    # (reference metrics.csv columns test/loss, test/acc, test/acc_agg)
+    import jax as _jax
+
+    final_step = int(_jax.device_get(trainer.state.step))
+    trainer.csv_logger.log_metrics(dict(test_metrics), step=final_step)
 
     # Confusion matrix artifacts (ref train.py:282-397)
     cm = confusion_matrix(labels, preds, config.dataset.num_classes)

@@ -178,10 +178,16 @@ class CheckpointManager:
         fname = f"epoch={epoch}-val_loss={monitor_value:.4f}.ckpt"
         path = self.dirpath / fname
         save_checkpoint(path, state, meta, backend=self.backend)
+        # the 4-decimal filename can collide with a recovered entry (e.g.
+        # resuming a deterministic run): REPLACE it, or the duplicate-path
+        # pair gets pruned and deletes the file the kept entry points to
+        self._kept = [(m, p) for m, p in self._kept if p != path]
         self._kept.append((float(monitor_value), path))
         self._kept.sort(key=lambda kv: kv[0], reverse=(self.mode != "min"))
         while len(self._kept) > self.save_top_k:
             _, drop = self._kept.pop()
+            if any(p == drop for _, p in self._kept):
+                continue  # another kept entry still references this file
             if _is_primary():  # bookkeeping on all processes, FS ops on 0
                 if drop.is_dir():  # orbax checkpoints are directories
                     shutil.rmtree(drop, ignore_errors=True)

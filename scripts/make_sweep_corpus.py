@@ -106,6 +106,13 @@ def main() -> None:
     from multimodal_emotion_detection_tpu.config import load_config
     from multimodal_emotion_detection_tpu.tools.sweep import run_sweep
 
+    # fresh runs + fresh harvest: stale checkpoint dirs from a previous
+    # invocation would otherwise seed the managers' top-k recovery
+    import shutil
+
+    shutil.rmtree(work / "runs", ignore_errors=True)
+    shutil.rmtree(out_root, ignore_errors=True)
+
     overrides = [
         "dataset.name=ravdess",
         f"dataset.data_dir={dataset}",

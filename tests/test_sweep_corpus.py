@@ -29,7 +29,8 @@ EXPECTED_TAGS = [
 
 @pytest.fixture(scope="module")
 def corpus():
-    if not CORPUS.exists():
+    # sweep_summary.json is written LAST: its presence marks a complete run
+    if not (CORPUS / "sweep_summary.json").exists():
         pytest.skip("sweep corpus not generated yet "
                     "(scripts/make_sweep_corpus.py)")
     return CORPUS

@@ -736,3 +736,33 @@ def test_checkpoint_manager_orbax_backend(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_manager_recovered_name_collision(tmp_path):
+    """Re-running a deterministic config over an existing checkpoints dir:
+    a new best whose 4-decimal filename matches a RECOVERED top-k entry
+    must replace it — previously the duplicate-path pair got pruned and
+    deleted the file best_model_path pointed to (hit by the sweep-corpus
+    regeneration)."""
+    from flax import struct
+
+    class FakeState(struct.PyTreeNode):
+        step: jnp.ndarray
+
+    st = FakeState(step=jnp.zeros((), jnp.int32))
+    m1 = CheckpointManager(tmp_path, save_top_k=1)
+    m1.on_epoch_end(st, 6, 0.17672)  # -> epoch=6-val_loss=0.1767.ckpt
+
+    # fresh manager recovers the file (metric parsed from the name), then
+    # the re-run produces an infinitesimally better value, SAME filename
+    m2 = CheckpointManager(tmp_path, save_top_k=1)
+    assert m2.best_model_path is not None
+    m2.on_epoch_end(st, 6, 0.17668)
+    assert m2.best_model_path.exists()
+    restored, meta = restore_checkpoint(m2.best_model_path, st)
+    assert meta["epoch"] == 6
+    # and a later better epoch still prunes the old file correctly
+    m2.on_epoch_end(st, 7, 0.1000)
+    assert m2.best_model_path.name == "epoch=7-val_loss=0.1000.ckpt"
+    assert m2.best_model_path.exists()
+    assert not (tmp_path / "epoch=6-val_loss=0.1767.ckpt").exists()
