@@ -189,6 +189,83 @@ def classifier_flops_per_clip(cfg, audio_samples: int = 48000,
     return {"forward": forward, "train": train, "breakdown": breakdown}
 
 
+MXU_TILE_ROWS = 128  # systolic array is 128x128 on v4/v5e
+
+
+def _rnn_serial_train_flops(T: int, hidden: int, num_layers: int,
+                            cell: str) -> float:
+    """Training matmul FLOPs that are SERIAL in time for one RNN stack.
+
+    Two matmuls per step per layer cannot be batched over T: the forward
+    h-side gate projection h_{t-1} @ W_hh ([B,H]x[H,gH]) and the reverse
+    walk's cotangent hop dgates_t @ W_hh^T ([B,gH]x[gH,H]).  Everything
+    else — x-projections, dW contractions, dx — is hoisted to one
+    (T*B)-row matmul (ops/lstm_vjp.py) and counts as batched.
+    """
+    gates = 4 if cell == "lstm" else 3
+    return num_layers * 2 * (T * 2 * gates * hidden * hidden)
+
+
+def attainable_mfu(cfg, batch: int, audio_samples: int = 48000,
+                   video_frames: int = 24,
+                   peak_flops: float | None = None) -> Dict[str, float]:
+    """Strict compute ceiling for a Config's training step, given MXU
+    tile occupancy — the speed-of-light number that says what fraction of
+    the chip this model COULD reach, so the achieved MFU has an anchor.
+
+    Model: the 128x128 MXU processes a matmul with M rows at occupancy
+    min(1, M/128) (rows pad to the tile).  Serial recurrence matmuls
+    (``_rnn_serial_train_flops``) have M = batch and cannot be merged
+    across time; every other matmul on the training path runs with
+    M = batch*T (or a (T*B)-contraction) and counts as fully occupied.
+
+        attainable_time = serial/(peak*occ) + batched/peak
+        attainable_mfu  = train_flops / (peak * attainable_time)
+
+    VPU elementwise work, DMA, and dispatch are ignored entirely: this is
+    a strict ceiling, not a prediction.  For non-recurrent encoders the
+    serial term is zero and the ceiling is 1.0.
+    """
+    peak = peak_flops if peak_flops is not None else device_peak_flops()
+    fl = classifier_flops_per_clip(cfg, audio_samples, video_frames)
+    train = fl["train"]
+
+    fe = cfg.model.frontend
+    serial = 0.0
+    for name, enc_cfg in dict(cfg.model.encoders).items():
+        enc_cfg = dict(enc_cfg)
+        if enc_cfg.get("type", "sequence") != "sequence":
+            continue
+        cell = enc_cfg.get("encoder_type", "lstm")
+        if cell not in ("lstm", "gru"):
+            continue
+        if name == "audio" and fe.audio in ("logmel", "mfcc"):
+            T = logmel_frames(audio_samples, fe.n_fft, fe.hop_length)
+        elif name == "audio":
+            T = audio_samples
+        elif name == "video":
+            T = video_frames
+        else:
+            T = enc_cfg.get("sequence_length", 1)
+        hidden = enc_cfg.get("hidden_dim") or cfg.model.output_dim * 2
+        serial += _rnn_serial_train_flops(
+            T, hidden, enc_cfg.get("num_layers", 2), cell)
+
+    serial = min(serial, train)
+    batched = train - serial
+    occ = min(1.0, batch / MXU_TILE_ROWS)
+    attainable_time = serial / (peak * occ) + batched / peak  # s/clip
+    a_mfu = train / (peak * attainable_time)
+    return {
+        "train_flops_per_clip": train,
+        "serial_flops_per_clip": serial,
+        "batched_flops_per_clip": batched,
+        "serial_occupancy": occ,
+        "attainable_clips_per_sec": 1.0 / attainable_time,
+        "attainable_mfu": a_mfu,
+    }
+
+
 def mfu(clips_per_sec: float, train_flops_per_clip: float,
         peak_flops: float | None = None) -> Dict[str, float]:
     peak = peak_flops if peak_flops is not None else device_peak_flops()

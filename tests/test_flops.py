@@ -145,3 +145,43 @@ def test_mfu_accounting():
     assert np.isclose(out["achieved_tflops"], 2.0)
     assert np.isclose(out["mfu"], 0.01)
     assert device_peak_flops() > 0
+
+
+def test_attainable_mfu_ceiling():
+    """Speed-of-light model: serial recurrence matmuls at batch/128 MXU
+    occupancy, everything else fully occupied (utils/flops.attainable_mfu,
+    the bench.py `attainable_mfu`/`fraction_of_attainable` anchor)."""
+    from multimodal_emotion_detection_tpu.utils.flops import attainable_mfu
+
+    cfg = Config()
+    apply_overrides(cfg, [
+        "model.encoders.audio.hidden_dim=256",
+        "model.encoders.video.input_dim=4096",
+    ])
+    cfg.model.frontend.audio = "logmel"
+    cfg.model.frontend.cache = True
+    peak = 197e12
+    a32 = attainable_mfu(cfg, 32, peak_flops=peak)
+    a256 = attainable_mfu(cfg, 256, peak_flops=peak)
+
+    # serial split: exactly the h-side + reverse-chain matmuls of the
+    # 2-layer h256 LSTM (hand count: 2 layers * 2 matmuls * T*2*4*H*H)
+    fe = cfg.model.frontend
+    T = 1 + (48000 - fe.n_fft) // fe.hop_length
+    assert a32["serial_flops_per_clip"] == 2 * 2 * (T * 2 * 4 * 256 * 256)
+    assert (a32["serial_flops_per_clip"] + a32["batched_flops_per_clip"]
+            == a32["train_flops_per_clip"])
+
+    # occupancy: 32/128 rows at b32, saturated at b256
+    assert a32["serial_occupancy"] == 0.25
+    assert a256["serial_occupancy"] == 1.0
+    assert 0 < a32["attainable_mfu"] < a256["attainable_mfu"] <= 1.0
+    # flagship b32 ceiling ~0.467: the achieved 0.301 is ~64% of it
+    assert 0.4 < a32["attainable_mfu"] < 0.55
+
+    # non-recurrent stacks have no serial term -> ceiling is 1.0
+    cfg.model.encoders["audio"]["encoder_type"] = "transformer"
+    cfg.model.encoders["video"]["type"] = "frame"
+    at = attainable_mfu(cfg, 32, peak_flops=peak)
+    assert at["serial_flops_per_clip"] == 0
+    assert at["attainable_mfu"] == 1.0
