@@ -73,9 +73,10 @@ def main():
         flush("vmapped_lr_sweep_error", repr(exc)[:400])
 
     try:
-        stacked = train_ensemble(model, loader, n_members=2, epochs=1)
+        stacked, stacked_state = train_ensemble(
+            model, loader, n_members=2, epochs=1)
         feats = {"s1": jnp.asarray(arrays.features["s1"][:16])}
-        probs, unc = ensemble_predict(model, stacked, {}, feats,
+        probs, unc = ensemble_predict(model, stacked, stacked_state, feats,
                                       num_modalities=1)
         flush("ensemble", {
             "ok": bool(np.isfinite(np.asarray(probs)).all()),

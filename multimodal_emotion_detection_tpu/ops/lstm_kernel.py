@@ -1126,6 +1126,128 @@ def gru_fwd_kernel_supported(batch: int, t_len: int, h_dim: int,
 BWD2_CHUNK = 4
 
 
+def _reverse_chunk_walk(num_chunks, chunk, dma_in, dma_out, step, unroll):
+    """Double-buffered reverse walk over time chunks (shared skeleton).
+
+    The one copy of the subtle pipelining logic used by every fused
+    reverse kernel (LSTM legacy/residual-native, GRU): chunks are
+    processed last-to-first with a one-chunk input prefetch, and a
+    chunk's output DMA is only waited two iterations later so one write
+    stays in flight while the next chunk computes.
+
+    ``dma_in(slot, ci)`` / ``dma_out(slot, ci)`` build LISTS of async
+    copies; ``step(slot, s, t)`` is the per-step reverse math (mutates
+    the carry state scratch in place).
+    """
+    from jax.experimental import pallas as pl
+
+    for cpy in dma_in(0, num_chunks - 1):
+        cpy.start()
+
+    def chunk_body(k, _):
+        ci = num_chunks - 1 - k
+        slot = k % 2
+
+        @pl.when(ci - 1 >= 0)
+        def _():
+            for cpy in dma_in((k + 1) % 2, ci - 1):
+                cpy.start()
+
+        for cpy in dma_in(slot, ci):
+            cpy.wait()
+
+        @pl.when(k >= 2)
+        def _():
+            for cpy in dma_out(slot, ci + 2):
+                cpy.wait()
+
+        def sbody(s_fwd, _):
+            s = chunk - 1 - s_fwd
+            step(slot, s, ci * chunk + s)
+            return 0
+
+        # Mosaic supports only unroll=1 or full unroll inside kernels
+        jax.lax.fori_loop(0, chunk, sbody, 0, unroll=unroll)
+        for cpy in dma_out(slot, ci):
+            cpy.start()
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+    @pl.when(num_chunks >= 2)
+    def _():
+        for cpy in dma_out(num_chunks % 2, 1):
+            cpy.wait()
+
+    for cpy in dma_out((num_chunks - 1) % 2, 0):
+        cpy.wait()
+
+
+def _chunked_in_copies(srcs, bufs, in_sem, b0, tile_b, chunk):
+    """dma_in builder: chunk ci of each (T_pad, B, ...) HBM src into the
+    matching double-buffer slot, one semaphore per stream."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def dma_in(slot, ci):
+        start = ci * chunk
+        return [
+            pltpu.make_async_copy(
+                src.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
+                buf.at[slot], in_sem.at[slot, i],
+            )
+            for i, (src, buf) in enumerate(zip(srcs, bufs))
+        ]
+
+    return dma_in
+
+
+def _lstm2_step_fn(state_buf, keep_buf, dys_buf, w_hh1_t, w_ih1_t, w_hh0_t,
+                   h_dim, t_len, read_res, write_dg):
+    """Shared per-step reverse math for both fused LSTM backward kernels.
+
+    Per step: two ``_cell_bwd`` VPU blocks + THREE (B,4H)x(4H,H) matmuls
+    (dh1 carry, the inter-layer dx1 hop, dh0 carry).  Padded steps
+    (t >= t_len, processed FIRST in reverse) pass carries through.
+    ``read_res(slot, s) -> (g0, g1, cp0, cp1)`` and
+    ``write_dg(slot, s, dgates0, dgates1)`` are the only parts that
+    differ between the legacy (separate streams) and residual-native
+    (packed buffer) kernels.  state_buf: (4, tile_b, H) = dh1, dc1,
+    dh0, dc0.  ``dys_buf=None`` means the ys cotangent is structurally
+    zero (final-hidden-only encoder path).
+    """
+
+    def step(slot, s, t):
+        g0, g1, cp0, cp1 = read_res(slot, s)
+        dh1_t = state_buf[0]
+        if dys_buf is not None:
+            dh1_t = dh1_t + dys_buf[slot, s]
+        dgates1, dc1_prev = _cell_bwd(g1, cp1, dh1_t, state_buf[1], h_dim)
+        dh1_prev = jnp.dot(
+            dgates1, w_hh1_t, preferred_element_type=jnp.float32
+        )
+        dx1 = jnp.dot(
+            dgates1, w_ih1_t, preferred_element_type=jnp.float32
+        )
+        dh0_t = state_buf[2] + dx1 * keep_buf[slot, s]
+        dgates0, dc0_prev = _cell_bwd(g0, cp0, dh0_t, state_buf[3], h_dim)
+        dh0_prev = jnp.dot(
+            dgates0, w_hh0_t, preferred_element_type=jnp.float32
+        )
+        valid = t < t_len
+        write_dg(
+            slot, s,
+            jnp.where(valid, dgates0, 0.0),
+            jnp.where(valid, dgates1, 0.0),
+        )
+        state_buf[0] = jnp.where(valid, dh1_prev, state_buf[0])
+        state_buf[1] = jnp.where(valid, dc1_prev, state_buf[1])
+        state_buf[2] = jnp.where(valid, dh0_prev, state_buf[2])
+        state_buf[3] = jnp.where(valid, dc0_prev, state_buf[3])
+
+    return step
+
+
 def _lstm2_bwd_kernel(
     *refs,
     t_len: int,
@@ -1171,97 +1293,37 @@ def _lstm2_bwd_kernel(
         state_buf[1] = jnp.zeros((batch, h_dim), jnp.float32)
         state_buf[2] = jnp.zeros((batch, h_dim), jnp.float32)
         state_buf[3] = jnp.zeros((batch, h_dim), jnp.float32)
-        w_hh1_t = w_hh1_t_ref[:]
-        w_ih1_t = w_ih1_t_ref[:]
-        w_hh0_t = w_hh0_t_ref[:]
 
-        def dma_in(slot, ci):
-            start = ci * chunk
-            srcs = [g0_hbm, g1_hbm, cp0_hbm, cp1_hbm, keep_hbm]
-            bufs = [g0_buf, g1_buf, cp0_buf, cp1_buf, keep_buf]
-            if has_dys:
-                srcs.append(dys_hbm)
-                bufs.append(dys_buf)
-            return [
-                pltpu.make_async_copy(
-                    src.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
-                    buf.at[slot], in_sem.at[slot, i],
-                )
-                for i, (src, buf) in enumerate(zip(srcs, bufs))
-            ]
+        srcs = [g0_hbm, g1_hbm, cp0_hbm, cp1_hbm, keep_hbm]
+        bufs = [g0_buf, g1_buf, cp0_buf, cp1_buf, keep_buf]
+        if has_dys:
+            srcs.append(dys_hbm)
+            bufs.append(dys_buf)
+        dma_in = _chunked_in_copies(srcs, bufs, in_sem, b0, tile_b, chunk)
 
         def dma_out(slot, ci):
-            return pltpu.make_async_copy(
+            return [pltpu.make_async_copy(
                 out_buf.at[slot],
                 dg_hbm.at[pl.ds(ci * chunk, chunk), pl.ds(b0, tile_b)],
                 out_sem.at[slot],
-            )
+            )]
 
-        for cpy in dma_in(0, num_chunks - 1):
-            cpy.start()
+        def read_res(slot, s):
+            return (g0_buf[slot, s], g1_buf[slot, s],
+                    cp0_buf[slot, s], cp1_buf[slot, s])
 
-        def chunk_body(k, _):
-            ci = num_chunks - 1 - k
-            slot = k % 2
+        def write_dg(slot, s, dgates0, dgates1):
+            # packed lane slices (offsets multiples of 4H — legal Mosaic)
+            out_buf[slot, s, :, 0:g4] = dgates0
+            out_buf[slot, s, :, g4:2 * g4] = dgates1
 
-            @pl.when(ci - 1 >= 0)
-            def _():
-                for cpy in dma_in((k + 1) % 2, ci - 1):
-                    cpy.start()
-
-            for cpy in dma_in(slot, ci):
-                cpy.wait()
-
-            @pl.when(k >= 2)
-            def _():
-                dma_out(slot, ci + 2).wait()
-
-            def step(s_fwd, _):
-                s = chunk - 1 - s_fwd
-                t = ci * chunk + s
-                dh1_t = state_buf[0]
-                if has_dys:
-                    dh1_t = dh1_t + dys_buf[slot, s]
-                dgates1, dc1_prev = _cell_bwd(
-                    g1_buf[slot, s], cp1_buf[slot, s], dh1_t, state_buf[1],
-                    h_dim,
-                )
-                dh1_prev = jnp.dot(
-                    dgates1, w_hh1_t, preferred_element_type=jnp.float32
-                )
-                dx1 = jnp.dot(
-                    dgates1, w_ih1_t, preferred_element_type=jnp.float32
-                )
-                dh0_t = state_buf[2] + dx1 * keep_buf[slot, s]
-                dgates0, dc0_prev = _cell_bwd(
-                    g0_buf[slot, s], cp0_buf[slot, s], dh0_t, state_buf[3],
-                    h_dim,
-                )
-                dh0_prev = jnp.dot(
-                    dgates0, w_hh0_t, preferred_element_type=jnp.float32
-                )
-                valid = t < t_len
-                out_buf[slot, s, :, 0:g4] = jnp.where(valid, dgates0, 0.0)
-                out_buf[slot, s, :, g4:2 * g4] = jnp.where(valid, dgates1, 0.0)
-                state_buf[0] = jnp.where(valid, dh1_prev, state_buf[0])
-                state_buf[1] = jnp.where(valid, dc1_prev, state_buf[1])
-                state_buf[2] = jnp.where(valid, dh0_prev, state_buf[2])
-                state_buf[3] = jnp.where(valid, dc0_prev, state_buf[3])
-                return 0
-
-            # Mosaic supports only unroll=1 or full unroll inside kernels
-            jax.lax.fori_loop(0, chunk, step, 0,
-                              unroll=chunk if full_unroll else 1)
-            dma_out(slot, ci).start()
-            return 0
-
-        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
-
-        @pl.when(num_chunks >= 2)
-        def _():
-            dma_out(num_chunks % 2, 1).wait()
-
-        dma_out((num_chunks - 1) % 2, 0).wait()
+        step = _lstm2_step_fn(
+            state_buf, keep_buf, dys_buf if has_dys else None,
+            w_hh1_t_ref[:], w_ih1_t_ref[:], w_hh0_t_ref[:],
+            h_dim, t_len, read_res, write_dg,
+        )
+        _reverse_chunk_walk(num_chunks, chunk, dma_in, dma_out, step,
+                            unroll=chunk if full_unroll else 1)
 
     scratch = dict(
         g0_buf=pltpu.VMEM((2, chunk, batch, g4), jnp.float32),
@@ -1429,86 +1491,49 @@ def _gru2_bwd_kernel(
         w_ih1_t = w_ih1_t_ref[:]
         w_hh0_t = w_hh0_t_ref[:]
 
-        def dma_in(slot, ci):
-            start = ci * chunk
-            srcs = (res0_hbm, res1_hbm, dys_hbm, keep_hbm)
-            bufs = (res0_buf, res1_buf, dys_buf, keep_buf)
-            return [
-                pltpu.make_async_copy(
-                    src.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
-                    buf.at[slot], in_sem.at[slot, i],
-                )
-                for i, (src, buf) in enumerate(zip(srcs, bufs))
-            ]
+        dma_in = _chunked_in_copies(
+            (res0_hbm, res1_hbm, dys_hbm, keep_hbm),
+            (res0_buf, res1_buf, dys_buf, keep_buf),
+            in_sem, b0, tile_b, chunk,
+        )
 
         def dma_out(slot, ci):
-            return pltpu.make_async_copy(
+            return [pltpu.make_async_copy(
                 out_buf.at[slot],
                 dg_hbm.at[pl.ds(ci * chunk, chunk), pl.ds(b0, tile_b)],
                 out_sem.at[slot],
+            )]
+
+        def step(slot, s, t):
+            h1p, r1, z1, n1, hn1 = unpack(res1_buf[slot, s])
+            dh1_t = state_buf[0] + dys_buf[slot, s]
+            dih1, dhh1, dh1_dir = _gru_cell_bwd_k(dh1_t, h1p, r1, z1,
+                                                  n1, hn1)
+            dh1_prev = dh1_dir + jnp.dot(
+                dhh1, w_hh1_t, preferred_element_type=jnp.float32
             )
+            dx1 = jnp.dot(
+                dih1, w_ih1_t, preferred_element_type=jnp.float32
+            )
+            h0p, r0, z0, n0, hn0 = unpack(res0_buf[slot, s])
+            dh0_t = state_buf[1] + dx1 * keep_buf[slot, s]
+            dih0, dhh0, dh0_dir = _gru_cell_bwd_k(dh0_t, h0p, r0, z0,
+                                                  n0, hn0)
+            dh0_prev = dh0_dir + jnp.dot(
+                dhh0, w_hh0_t, preferred_element_type=jnp.float32
+            )
+            valid = t < t_len
+            out_buf[slot, s, :, 0:g3] = jnp.where(valid, dih0, 0.0)
+            out_buf[slot, s, :, g3:2 * g3] = jnp.where(valid, dhh0, 0.0)
+            out_buf[slot, s, :, 2 * g3:3 * g3] = jnp.where(valid, dih1,
+                                                           0.0)
+            out_buf[slot, s, :, 3 * g3:4 * g3] = jnp.where(valid, dhh1,
+                                                           0.0)
+            state_buf[0] = jnp.where(valid, dh1_prev, state_buf[0])
+            state_buf[1] = jnp.where(valid, dh0_prev, state_buf[1])
 
-        for cpy in dma_in(0, num_chunks - 1):
-            cpy.start()
-
-        def chunk_body(k, _):
-            ci = num_chunks - 1 - k
-            slot = k % 2
-
-            @pl.when(ci - 1 >= 0)
-            def _():
-                for cpy in dma_in((k + 1) % 2, ci - 1):
-                    cpy.start()
-
-            for cpy in dma_in(slot, ci):
-                cpy.wait()
-
-            @pl.when(k >= 2)
-            def _():
-                dma_out(slot, ci + 2).wait()
-
-            def step(s_fwd, _):
-                s = chunk - 1 - s_fwd
-                t = ci * chunk + s
-                h1p, r1, z1, n1, hn1 = unpack(res1_buf[slot, s])
-                dh1_t = state_buf[0] + dys_buf[slot, s]
-                dih1, dhh1, dh1_dir = _gru_cell_bwd_k(dh1_t, h1p, r1, z1,
-                                                      n1, hn1)
-                dh1_prev = dh1_dir + jnp.dot(
-                    dhh1, w_hh1_t, preferred_element_type=jnp.float32
-                )
-                dx1 = jnp.dot(
-                    dih1, w_ih1_t, preferred_element_type=jnp.float32
-                )
-                h0p, r0, z0, n0, hn0 = unpack(res0_buf[slot, s])
-                dh0_t = state_buf[1] + dx1 * keep_buf[slot, s]
-                dih0, dhh0, dh0_dir = _gru_cell_bwd_k(dh0_t, h0p, r0, z0,
-                                                      n0, hn0)
-                dh0_prev = dh0_dir + jnp.dot(
-                    dhh0, w_hh0_t, preferred_element_type=jnp.float32
-                )
-                valid = t < t_len
-                out_buf[slot, s, :, 0:g3] = jnp.where(valid, dih0, 0.0)
-                out_buf[slot, s, :, g3:2 * g3] = jnp.where(valid, dhh0, 0.0)
-                out_buf[slot, s, :, 2 * g3:3 * g3] = jnp.where(valid, dih1,
-                                                               0.0)
-                out_buf[slot, s, :, 3 * g3:4 * g3] = jnp.where(valid, dhh1,
-                                                               0.0)
-                state_buf[0] = jnp.where(valid, dh1_prev, state_buf[0])
-                state_buf[1] = jnp.where(valid, dh0_prev, state_buf[1])
-                return 0
-
-            jax.lax.fori_loop(0, chunk, step, 0, unroll=1)
-            dma_out(slot, ci).start()
-            return 0
-
-        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
-
-        @pl.when(num_chunks >= 2)
-        def _():
-            dma_out(num_chunks % 2, 1).wait()
-
-        dma_out((num_chunks - 1) % 2, 0).wait()
+        _reverse_chunk_walk(num_chunks, chunk, dma_in, dma_out, step,
+                            unroll=1)
 
     pl.run_scoped(
         body,
@@ -1920,24 +1945,13 @@ def _lstm2_bwd_res_kernel(
         state_buf[1] = jnp.zeros((batch, h_dim), jnp.float32)
         state_buf[2] = jnp.zeros((batch, h_dim), jnp.float32)
         state_buf[3] = jnp.zeros((batch, h_dim), jnp.float32)
-        w_hh1_t = w_hh1_t_ref[:]
-        w_ih1_t = w_ih1_t_ref[:]
-        w_hh0_t = w_hh0_t_ref[:]
 
-        def dma_in(slot, ci):
-            start = ci * chunk
-            srcs = [pk_hbm, keep_hbm]
-            bufs = [pk_buf, keep_buf]
-            if has_dys:
-                srcs.append(dys_hbm)
-                bufs.append(dys_buf)
-            return [
-                pltpu.make_async_copy(
-                    src.at[pl.ds(start, chunk), pl.ds(b0, tile_b)],
-                    buf.at[slot], in_sem.at[slot, i],
-                )
-                for i, (src, buf) in enumerate(zip(srcs, bufs))
-            ]
+        srcs = [pk_hbm, keep_hbm]
+        bufs = [pk_buf, keep_buf]
+        if has_dys:
+            srcs.append(dys_hbm)
+            bufs.append(dys_buf)
+        dma_in = _chunked_in_copies(srcs, bufs, in_sem, b0, tile_b, chunk)
 
         def dma_out(slot, ci):
             row = pl.ds(ci * chunk, chunk)
@@ -1953,76 +1967,26 @@ def _lstm2_bwd_res_kernel(
                 ),
             ]
 
-        for cpy in dma_in(0, num_chunks - 1):
-            cpy.start()
+        def read_res(slot, s):
+            # packed lane-slice reads (offsets multiples of H — legal)
+            return (
+                pk_buf[slot, s, :, RES2_G0 * h_dim:RES2_G1 * h_dim],
+                pk_buf[slot, s, :, RES2_G1 * h_dim:RES2_C0P * h_dim],
+                pk_buf[slot, s, :, RES2_C0P * h_dim:RES2_C1P * h_dim],
+                pk_buf[slot, s, :, RES2_C1P * h_dim:RES2_W * h_dim],
+            )
 
-        def chunk_body(k, _):
-            ci = num_chunks - 1 - k
-            slot = k % 2
+        def write_dg(slot, s, dgates0, dgates1):
+            dg0_buf[slot, s] = dgates0
+            dg1_buf[slot, s] = dgates1
 
-            @pl.when(ci - 1 >= 0)
-            def _():
-                for cpy in dma_in((k + 1) % 2, ci - 1):
-                    cpy.start()
-
-            for cpy in dma_in(slot, ci):
-                cpy.wait()
-
-            @pl.when(k >= 2)
-            def _():
-                for cpy in dma_out(slot, ci + 2):
-                    cpy.wait()
-
-            def step(s_fwd, _):
-                s = chunk - 1 - s_fwd
-                t = ci * chunk + s
-                g0 = pk_buf[slot, s, :, RES2_G0 * h_dim:RES2_G1 * h_dim]
-                g1 = pk_buf[slot, s, :, RES2_G1 * h_dim:RES2_C0P * h_dim]
-                cp0 = pk_buf[slot, s, :, RES2_C0P * h_dim:RES2_C1P * h_dim]
-                cp1 = pk_buf[slot, s, :, RES2_C1P * h_dim:RES2_W * h_dim]
-                dh1_t = state_buf[0]
-                if has_dys:
-                    dh1_t = dh1_t + dys_buf[slot, s]
-                dgates1, dc1_prev = _cell_bwd(
-                    g1, cp1, dh1_t, state_buf[1], h_dim,
-                )
-                dh1_prev = jnp.dot(
-                    dgates1, w_hh1_t, preferred_element_type=jnp.float32
-                )
-                dx1 = jnp.dot(
-                    dgates1, w_ih1_t, preferred_element_type=jnp.float32
-                )
-                dh0_t = state_buf[2] + dx1 * keep_buf[slot, s]
-                dgates0, dc0_prev = _cell_bwd(
-                    g0, cp0, dh0_t, state_buf[3], h_dim,
-                )
-                dh0_prev = jnp.dot(
-                    dgates0, w_hh0_t, preferred_element_type=jnp.float32
-                )
-                valid = t < t_len
-                dg0_buf[slot, s] = jnp.where(valid, dgates0, 0.0)
-                dg1_buf[slot, s] = jnp.where(valid, dgates1, 0.0)
-                state_buf[0] = jnp.where(valid, dh1_prev, state_buf[0])
-                state_buf[1] = jnp.where(valid, dc1_prev, state_buf[1])
-                state_buf[2] = jnp.where(valid, dh0_prev, state_buf[2])
-                state_buf[3] = jnp.where(valid, dc0_prev, state_buf[3])
-                return 0
-
-            jax.lax.fori_loop(0, chunk, step, 0,
-                              unroll=chunk if full_unroll else 1)
-            for cpy in dma_out(slot, ci):
-                cpy.start()
-            return 0
-
-        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
-
-        @pl.when(num_chunks >= 2)
-        def _():
-            for cpy in dma_out(num_chunks % 2, 1):
-                cpy.wait()
-
-        for cpy in dma_out((num_chunks - 1) % 2, 0):
-            cpy.wait()
+        step = _lstm2_step_fn(
+            state_buf, keep_buf, dys_buf if has_dys else None,
+            w_hh1_t_ref[:], w_ih1_t_ref[:], w_hh0_t_ref[:],
+            h_dim, t_len, read_res, write_dg,
+        )
+        _reverse_chunk_walk(num_chunks, chunk, dma_in, dma_out, step,
+                            unroll=chunk if full_unroll else 1)
 
     scratch = dict(
         pk_buf=pltpu.VMEM((2, chunk, batch, RES2_W * h_dim), jnp.float32),

@@ -121,13 +121,17 @@ def run(config: Config, overrides=None, resume: bool = False) -> dict:
     final_step = int(_jax.device_get(trainer.state.step))
     trainer.csv_logger.log_metrics(dict(test_metrics), step=final_step)
 
-    # Confusion matrix artifacts (ref train.py:282-397)
+    # Confusion matrix artifacts (ref train.py:282-397). Metrics are
+    # computed on every process (identical global arrays); only process 0
+    # writes files in a multi-process run (shared save_dir).
+    primary = trainer.is_primary
     cm = confusion_matrix(labels, preds, config.dataset.num_classes)
-    save_confusion_matrix(
-        cm, save_dir,
-        class_names_for(config.dataset.name, config.dataset.num_classes),
-    )
-    print(f"Saved confusion matrix to {save_dir / 'confusion_matrix.npy'}")
+    if primary:
+        save_confusion_matrix(
+            cm, save_dir,
+            class_names_for(config.dataset.name, config.dataset.num_classes),
+        )
+        print(f"Saved confusion matrix to {save_dir / 'confusion_matrix.npy'}")
     test_metrics["test/macro_f1"] = macro_f1(cm)
 
     results = dict(test_metrics)
@@ -142,19 +146,20 @@ def run(config: Config, overrides=None, resume: bool = False) -> dict:
             confs, preds, labels, num_bins=num_bins
         )
         bins_list, acc_per_bin = per_bin_accuracy(confs, preds, labels, num_bins)
-        CalibrationMetrics.reliability_diagram(
-            confs, preds, labels, num_bins=num_bins,
-            save_path=str(Path("./analysis") / "calibration_diagram.png"),
-        )
-        print("✓ Reliability diagram created")
-        out = write_uncertainty_json(
-            Path(config.outputs.experiments_dir),
-            config.dataset.name,
-            ece, nll, bins_list, acc_per_bin,
-        )
-        print(f"Saved uncertainty report to: {out}")
+        if primary:
+            CalibrationMetrics.reliability_diagram(
+                confs, preds, labels, num_bins=num_bins,
+                save_path=str(Path("./analysis") / "calibration_diagram.png"),
+            )
+            print("✓ Reliability diagram created")
+            out = write_uncertainty_json(
+                Path(config.outputs.experiments_dir),
+                config.dataset.name,
+                ece, nll, bins_list, acc_per_bin,
+            )
+            print(f"Saved uncertainty report to: {out}")
         results.update({"ece": ece, "nll": nll})
-    else:
+    elif primary:
         best_copy = trainer.checkpoints.copy_best(save_dir / "best.ckpt")
         if best_copy:
             print(f"Copied best checkpoint to: {best_copy}")

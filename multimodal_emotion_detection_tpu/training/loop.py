@@ -213,6 +213,18 @@ class Trainer:
                     "parallel.strategy='shardmap_dp' (a GSPMD gather "
                     "would all-gather the row-sharded split)"
                 )
+            if (cfg.parallel.shard_data_rows
+                    and not getattr(train_loader, "device_resident", True)):
+                # shard-local epoch indices/valid masks only pair with the
+                # row-sharded device-resident split; the host-streaming
+                # loader iterates GLOBAL batches, so combining them would
+                # silently mask real rows out of the loss
+                raise ValueError(
+                    "parallel.shard_data_rows requires "
+                    "dataset.device_resident=true (host-streaming batches "
+                    "are global; shard-local index/valid semantics do not "
+                    "apply to them)"
+                )
             self._row_sharded = cfg.parallel.shard_data_rows
             if strategy == "shardmap_dp":
                 from multimodal_emotion_detection_tpu.parallel.train import (
@@ -596,6 +608,22 @@ class Trainer:
         metrics["test/acc_agg"] = float((preds == labels).mean())
         return metrics, logits, preds, labels
 
+    @staticmethod
+    def _fetch_np(x):
+        """Fetch a (possibly process-spanning) device array as np.ndarray.
+
+        Under a multi-process mesh the eval outputs are sharded over
+        'data' across processes; jax.device_get rejects arrays that are
+        not fully addressable, so reshard to fully-replicated first
+        (process_allgather) — every process then sees the same global
+        batch-major arrays, mirroring Lightning's gathered test outputs.
+        """
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(jax.device_get(x))
+
     def _run_eval(self, loader, state=None, collect=False):
         state = state if state is not None else self.state
         assert state is not None and self._eval_step is not None
@@ -627,11 +655,11 @@ class Trainer:
             collected = None
             if collect:
                 valid = np.asarray(valid_all).reshape(-1).astype(bool)
-                lg = np.asarray(jax.device_get(logits_s))
+                lg = self._fetch_np(logits_s)
                 collected = (
                     lg.reshape(-1, lg.shape[-1])[valid],
-                    np.asarray(jax.device_get(preds_s)).reshape(-1)[valid],
-                    np.asarray(jax.device_get(labels_s)).reshape(-1)[valid],
+                    self._fetch_np(preds_s).reshape(-1)[valid],
+                    self._fetch_np(labels_s).reshape(-1)[valid],
                 )
             return totals, collected
         totals = None
@@ -667,9 +695,9 @@ class Trainer:
         if collect:
             valid = np.concatenate(valid_list).astype(bool)
             collected = (
-                np.concatenate(jax.device_get(logits_list))[valid],
-                np.concatenate(jax.device_get(preds_list))[valid],
-                np.concatenate(jax.device_get(labels_list))[valid],
+                np.concatenate([self._fetch_np(x) for x in logits_list])[valid],
+                np.concatenate([self._fetch_np(x) for x in preds_list])[valid],
+                np.concatenate([self._fetch_np(x) for x in labels_list])[valid],
             )
         return totals, collected
 

@@ -80,9 +80,23 @@ def main() -> None:
     cfg3.parallel.model_parallel = 2
     cfg3.runtime.checkpoint_backend = "auto"
     trainer3 = Trainer(cfg3, save_dir=save_dir)
-    train_loader3, val_loader3, _ = make_loaders(cfg3)
+    train_loader3, val_loader3, test_loader3 = make_loaders(cfg3)
     trainer3.fit(train_loader3, val_loader3, resume=True)
     assert trainer3.history[0]["epoch"] == 2, trainer3.history
+
+    # trainer.test() collects per-row logits/preds/labels — on a
+    # process-spanning mesh these are sharded over 'data', so the fetch
+    # must reshard to replicated (loop.py _fetch_np), not device_get
+    test_metrics, logits, preds, labels = trainer3.test(test_loader3)
+    n_test = test_loader3.num_samples
+    assert logits.shape[0] == n_test, (logits.shape, n_test)
+    assert preds.shape == labels.shape == (n_test,), (preds.shape, n_test)
+    # every process must see the same replicated global outputs
+    (workdir / f"test_{process_id}.json").write_text(json.dumps({
+        "test_acc": float(test_metrics["test/acc_agg"]),
+        "preds_sum": int(preds.sum()),
+        "logits_mean": float(logits.mean()),
+    }))
 
     if process_id == 0:
         (workdir / "result.json").write_text(json.dumps({

@@ -797,6 +797,13 @@ def test_multiprocess_distributed_training(tmp_path):
         result["val_losses"], ref_losses, rtol=2e-4, atol=2e-5
     )
     assert np.isfinite(result["resumed_val_loss"])
+    # trainer.test() collect path: both processes must fetch identical
+    # replicated global outputs (loop.py _fetch_np reshard; a plain
+    # device_get would raise 'not fully addressable' here)
+    t0 = json.loads((workdir / "test_0.json").read_text())
+    t1 = json.loads((workdir / "test_1.json").read_text())
+    assert t0 == t1, (t0, t1)
+    assert 0.0 <= t0["test_acc"] <= 1.0
     # CSV written by process 0 only: the worker constructs two Trainers
     # (fit + resume) -> exactly 2 version dirs; if process 1 also logged
     # there would be 4
