@@ -689,6 +689,23 @@ def test_trainer_row_sharded_end_to_end(tmp_path):
     with _pytest.raises(ValueError, match="shard_data_rows"):
         trainer_bad._build(loaders[0])
 
+    # host-streaming loaders iterate GLOBAL batches — pairing them with
+    # shard-local valid masks would silently mask real rows out of the
+    # loss, so the combination must be rejected up front
+    host_loaders = create_dataloaders(
+        "synthetic", "", cfg.dataset.modalities,
+        batch_size=cfg.dataset.batch_size,
+        num_samples=cfg.dataset.num_samples,
+        num_samples_eval=cfg.dataset.num_samples_eval,
+        num_classes=cfg.dataset.num_classes,
+        sequence_length=cfg.dataset.sequence_length,
+        modality_dim=cfg.dataset.modality_dim,
+        device_resident=False,
+    )
+    trainer_host = Trainer(cfg, save_dir=tmp_path / "host")
+    with _pytest.raises(ValueError, match="device_resident"):
+        trainer_host._build(host_loaders[0])
+
 
 def test_trainer_row_sharded_mmap_disk_dataset(tmp_path):
     """The pod-scale combination end-to-end: mmap'd on-disk .npy splits +
