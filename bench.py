@@ -78,7 +78,7 @@ def _train_flops_per_clip(frontend: str, batch: int,
 
 def _build(frontend: str, batch: int, n_rows: int, seed: int = 0,
            compute_dtype: str = "float32", scan: bool = False,
-           big: bool = False):
+           big: bool = False, pregather: bool = False):
     """frontend: 'raw' | 'logmel_xla' | 'logmel_pallas'.
 
     With ``scan`` the returned step is the epoch-scan driver
@@ -129,11 +129,16 @@ def _build(frontend: str, batch: int, n_rows: int, seed: int = 0,
         model, tx, sample, jnp.ones((batch, 2), jnp.float32),
         jax.random.PRNGKey(0),
     )
-    make = make_epoch_train_step if scan else make_train_step
-    step = make(
-        model, tx, num_modalities=2, modality_dropout=0.1,
-        has_batch_stats=bool(state.model_state),
-    )
+    if scan:
+        step = make_epoch_train_step(
+            model, tx, num_modalities=2, modality_dropout=0.1,
+            has_batch_stats=bool(state.model_state), pregather=pregather,
+        )
+    else:
+        step = make_train_step(
+            model, tx, num_modalities=2, modality_dropout=0.1,
+            has_batch_stats=bool(state.model_state),
+        )
     return state, step, features, labels
 
 

@@ -228,6 +228,14 @@ class RuntimeConfig:
     # tunneled v5e, benchmarks/r2r_tpu.json); per-step metric
     # trajectories are bit-identical to the per-step path (tested).
     epoch_scan: str = "auto"
+    # Hoist the per-step batch gather out of the epoch scan: gather the
+    # whole epoch's rows once up front, scan over contiguous slices.
+    # Bitwise-identical trajectories; costs one epoch-sized HBM copy of
+    # the split.  Measured on v5e (benchmarks/r3e_tpu.json): ~1-2%
+    # SLOWER in both the flagship-f32 and b256-bf16 regimes — the
+    # in-scan gathers already overlap with compute — so default off;
+    # kept as a knob for gather-bound geometries (tiny models, huge B).
+    epoch_pregather: bool = False
 
 
 @dataclass
@@ -296,6 +304,11 @@ def _coerce(value: Any, current: Any, path: str) -> Any:
         if isinstance(value, bool):
             return value
         raise ConfigError(f"Config key '{path}' expects a bool, got {value!r}")
+    if isinstance(current, str) and isinstance(value, bool):
+        # YAML 1.1 parses on/off (and yes/no/true/false) as bools before
+        # we see the raw token; for string-typed switches such as
+        # runtime.epoch_scan='auto'|'on'|'off' map them back.
+        return "on" if value else "off"
     if isinstance(current, int) and not isinstance(current, bool):
         if isinstance(value, int):
             return value

@@ -288,6 +288,9 @@ class Trainer:
                     ),
                     has_batch_stats=has_bn,
                     donate=cfg.runtime.donate_state,
+                    pregather=getattr(
+                        cfg.runtime, "epoch_pregather", False
+                    ),
                 )
         # eval jit follows the input shardings automatically (GSPMD)
         self._eval_step = make_eval_step(

@@ -168,7 +168,7 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def scan_over_epoch(step_fn: Callable) -> Callable:
+def scan_over_epoch(step_fn: Callable, pregather: bool = False) -> Callable:
     """Lift a per-batch step into a one-dispatch-per-epoch driver.
 
     ``step_fn(state, features, labels, idx, valid, key)`` becomes
@@ -176,9 +176,38 @@ def scan_over_epoch(step_fn: Callable) -> Callable:
     ``lax.scan``s over the (S, B) epoch matrices.  Shared by the plain,
     GSPMD, shard_map, and vmapped-sweep drivers so the key-folding /
     carry semantics cannot diverge between them.
+
+    ``pregather=True`` hoists the per-step batch gather out of the scan:
+    the whole epoch's rows are gathered ONCE up front (one large HBM
+    gather instead of S small ones on the scan's critical path) and the
+    scan consumes contiguous (S, B, ...) slices; the per-step body then
+    sees an identity gather XLA folds away.  Bitwise-identical batches
+    and trajectories — only the gather schedule changes.  Costs one
+    epoch-sized copy of the split in HBM, so it is opt-in
+    (``runtime.epoch_pregather``).  Measured on v5e it is ~1-2% SLOWER
+    in both flagship regimes (benchmarks/r3e_tpu.json): the in-scan
+    gathers already overlap with compute.
     """
 
     def epoch_fn(state, features, labels, idx_mat, valid_mat, key):
+        if pregather:
+            s, b = idx_mat.shape
+            flat = idx_mat.reshape(-1)
+            feats_e = {
+                m: jnp.take(a, flat, axis=0).reshape((s, b) + a.shape[1:])
+                for m, a in features.items()
+            }
+            labels_e = jnp.take(labels, flat, axis=0).reshape(s, b)
+            ident = jnp.arange(b, dtype=idx_mat.dtype)
+
+            def body_pg(st, xs):
+                feats_b, labels_b, valid = xs
+                return step_fn(st, feats_b, labels_b, ident, valid, key)
+
+            return jax.lax.scan(
+                body_pg, state, (feats_e, labels_e, valid_mat)
+            )
+
         def body(st, xs):
             idx, valid = xs
             return step_fn(st, features, labels, idx, valid, key)
@@ -195,6 +224,7 @@ def make_epoch_train_step(
     modality_dropout: float = 0.0,
     has_batch_stats: bool = False,
     donate: bool = True,
+    pregather: bool = False,
 ) -> Callable:
     """Scan the train step over ALL batches of an epoch in ONE dispatch.
 
@@ -218,7 +248,7 @@ def make_epoch_train_step(
     step_fn = _make_train_step_body(
         model, tx, num_modalities, modality_dropout, has_batch_stats
     )
-    return jax.jit(scan_over_epoch(step_fn),
+    return jax.jit(scan_over_epoch(step_fn, pregather=pregather),
                    donate_argnums=(0,) if donate else ())
 
 

@@ -54,6 +54,21 @@ def test_dotted_overrides_typed():
     assert cfg.runtime.compute_dtype == "bfloat16"
 
 
+def test_yaml11_bool_token_lands_as_string_switch():
+    """CLI ``runtime.epoch_scan=on`` YAML-parses to True before coercion;
+    string-typed switches must get 'on'/'off' back, not a bool."""
+    cfg = Config()
+    apply_overrides(cfg, ["runtime.epoch_scan=on"])
+    assert cfg.runtime.epoch_scan == "on"
+    apply_overrides(cfg, ["runtime.epoch_scan=off"])
+    assert cfg.runtime.epoch_scan == "off"
+    apply_overrides(cfg, ["runtime.epoch_scan=auto"])
+    assert cfg.runtime.epoch_scan == "auto"
+    # bool-typed keys still take bool tokens
+    apply_overrides(cfg, ["runtime.epoch_pregather=true"])
+    assert cfg.runtime.epoch_pregather is True
+
+
 def test_unknown_key_rejected():
     cfg = Config()
     with pytest.raises(ConfigError, match="Unknown config key"):

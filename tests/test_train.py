@@ -413,6 +413,26 @@ def test_epoch_scan_matches_per_step_dispatch(tmp_path):
     np.testing.assert_array_equal(run("on", "scan"), run("off", "loop"))
 
 
+def test_epoch_pregather_matches_in_scan_gather(tmp_path):
+    """runtime.epoch_pregather hoists the batch gather out of the scan;
+    same rows in the same order -> the trajectory must be bit-identical
+    to the in-scan gather path."""
+    def run(pregather, tag):
+        cfg = tiny_config()
+        cfg.training.max_epochs = 2
+        cfg.runtime.epoch_scan = "on"
+        cfg.runtime.epoch_pregather = pregather
+        train_loader, val_loader, _ = make_loaders(cfg)
+        t = Trainer(cfg, save_dir=tmp_path / tag)
+        t.fit(train_loader, val_loader)
+        return [
+            (row["train/loss"], row["val/loss"], row["train/acc"])
+            for row in t.history
+        ]
+
+    np.testing.assert_array_equal(run(True, "pg"), run(False, "nopg"))
+
+
 def test_epoch_scan_matches_per_step_with_batchnorm(tmp_path):
     """BatchNorm models thread batch_stats through the scan carry; the
     trajectory must still match the per-step path bitwise."""
