@@ -18,7 +18,9 @@ The log-mel frontend has two implementations (fused Pallas kernel and an
 XLA fallback).  The headline run uses XLA in-process; the Pallas variant is
 additionally timed in a subprocess with a timeout (the tunneled axon
 backend has wedged on kernel faults before) and reported — the faster of
-the two becomes ``value``.
+the candidates becomes ``value``.  Candidates include the throughput
+config (configs/fast.yaml: rbg hardware PRNG + bf16 residual streams on
+the identical architecture — same FLOPs, runtime knobs only; r3f/r3g).
 """
 
 from __future__ import annotations
@@ -282,8 +284,25 @@ def main():
                              iters=30, epoch_scan=True)
     except Exception:
         cached_cps = None
-    # throughput-optimized point (configs/fast.yaml): larger batch + bf16
-    # + rbg hardware PRNG (the fast config's runtime.prng_impl)
+    # throughput-optimized flagship (configs/fast.yaml, round 3): same
+    # b32 f32 architecture with rbg hardware PRNG (+4-7%, r3f) and bf16
+    # residual streams for the recurrence kernels (+5%, r3g; gradients
+    # within the chip's own precision-chaos envelope, forward exact)
+    try:
+        import multimodal_emotion_detection_tpu.ops.lstm_vjp as _lv
+
+        jax.config.update("jax_default_prng_impl", "rbg")
+        _lv.set_res2_dtype("bfloat16")
+        try:
+            fast_cps = run_one("logmel_cached", batch, n_rows, warmup=3,
+                               iters=30, epoch_scan=True)
+        finally:
+            _lv.set_res2_dtype("float32")
+            jax.config.update("jax_default_prng_impl", "threefry2x32")
+    except Exception:
+        fast_cps = None
+    # large-batch bf16 point (the round-2 peak regime; the b32 fast path
+    # overtook it in round 3 — kept for the regime comparison)
     try:
         jax.config.update("jax_default_prng_impl", "rbg")
         try:
@@ -316,8 +335,15 @@ def main():
         candidates["logmel_pallas"] = fast_pallas
     if cached_cps is not None:
         candidates["logmel_cached"] = cached_cps
+    if fast_cps is not None:
+        # same architecture + FLOPs; runtime knobs only (rbg PRNG, bf16
+        # residual streams) — configs/fast.yaml
+        candidates["logmel_cached_fast"] = fast_cps
     best_name = max(candidates, key=candidates.get)
     value = candidates[best_name]
+    # the fast point shares the cached-frontend FLOPs/attainable model
+    flops_name = ("logmel_cached" if best_name.startswith("logmel_cached")
+                  else best_name)
 
     # Roofline accounting: analytic matmul FLOPs/clip (utils/flops.py,
     # XLA-cost-analysis cross-checked in tests/test_flops.py) -> achieved
@@ -328,14 +354,14 @@ def main():
     )
 
     peak = device_peak_flops()
-    f_headline = _train_flops_per_clip(best_name, batch)
+    f_headline = _train_flops_per_clip(flops_name, batch)
     m_headline = mfu(value, f_headline, peak)
     # speed-of-light anchor: strict MXU-occupancy ceiling for this config
     # (serial recurrence matmuls occupy batch/128 of the tile; VPU/DMA
     # ignored) — says what fraction of attainable the achieved MFU is
     from multimodal_emotion_detection_tpu.utils.flops import attainable_mfu
 
-    att = attainable_mfu(_bench_config(best_name, batch), batch,
+    att = attainable_mfu(_bench_config(flops_name, batch), batch,
                          peak_flops=peak)
     m_peak = (
         mfu(peak_cps, _train_flops_per_clip("logmel_cached", 256,
@@ -368,6 +394,11 @@ def main():
         ),
         "logmel_cached_clips_per_sec": (
             round(cached_cps, 2) if cached_cps is not None else None
+        ),
+        "flagship_fast_clips_per_sec": (
+            # configs/fast.yaml: rbg PRNG + bf16 residual streams on the
+            # same b32 architecture (r3f/r3g_tpu.json)
+            round(fast_cps, 2) if fast_cps is not None else None
         ),
         "peak_clips_per_sec_b256_bf16": (
             round(peak_cps, 2) if peak_cps is not None else None

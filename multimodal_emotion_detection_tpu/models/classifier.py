@@ -145,9 +145,11 @@ class MultimodalClassifier(nn.Module):
             if self.use_modality_mask and mask is not None:
                 m = mask[:, i].reshape((-1,) + (1,) * (x.ndim - 1))
                 x = x * m.astype(x.dtype)
+            # per-encoder dtype overrides (mixed precision) are confined
+            # to the encoder: outputs rejoin the model dtype here
             encoded[modality] = self.encoders[modality](
                 x, deterministic=deterministic, bn_eval=bn_eval
-            )
+            ).astype(self.dtype)
         return encoded
 
     def __call__(

@@ -524,6 +524,17 @@ def build_encoder(
     cfg = dict(encoder_config or {})
     enc_type = cfg.pop("type", None)
     in_dim = cfg.pop("input_dim", input_dim)
+    # Per-encoder compute dtype override (mixed-precision models: e.g.
+    # video/frame encoder in bf16 while the LSTM recurrence stays f32 —
+    # the r3f decomposition showed the frame MLP's f32 matmuls are a
+    # ~0.6 ms isolated sink at b32).  The classifier casts every encoder
+    # output back to the model dtype, so fusion/head are unaffected.
+    dt_over = cfg.pop("dtype", None)
+    if dt_over is not None:
+        dtype = (
+            {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dt_over]
+            if isinstance(dt_over, str) else dt_over
+        )
 
     if enc_type is None:
         mod = modality.lower()

@@ -1668,6 +1668,7 @@ def _lstm2_fwd_res_kernel(
     chunk: int,
     tile_b: int,
     full_unroll: bool,
+    res_dtype=jnp.float32,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1759,15 +1760,19 @@ def _lstm2_fwd_res_kernel(
                 h1n, c1n = _cell(h1, c1, gates1)
                 valid = t < t_len
                 # residuals as consumed: gate pre-activations + PRE-step
-                # state (the "shift" is free here)
-                pk_buf[slot, s, :, RES2_G0 * h_dim:RES2_G1 * h_dim] = gates0
-                pk_buf[slot, s, :, RES2_G1 * h_dim:RES2_C0P * h_dim] = gates1
+                # state (the "shift" is free here).  res_dtype=bfloat16
+                # halves the dominant HBM stream; compute/carries stay f32
+                pk_buf[slot, s, :, RES2_G0 * h_dim:RES2_G1 * h_dim] = (
+                    gates0.astype(res_dtype))
+                pk_buf[slot, s, :, RES2_G1 * h_dim:RES2_C0P * h_dim] = (
+                    gates1.astype(res_dtype))
                 pk_buf[slot, s, :,
-                       RES2_C0P * h_dim:RES2_C1P * h_dim] = c0
-                pk_buf[slot, s, :, RES2_C1P * h_dim:RES2_W * h_dim] = c1
-                h0p_buf[slot, s] = h0
-                h1p_buf[slot, s] = h1
-                x1_buf[slot, s] = x1
+                       RES2_C0P * h_dim:RES2_C1P * h_dim] = c0.astype(res_dtype)
+                pk_buf[slot, s, :, RES2_C1P * h_dim:RES2_W * h_dim] = (
+                    c1.astype(res_dtype))
+                h0p_buf[slot, s] = h0.astype(res_dtype)
+                h1p_buf[slot, s] = h1.astype(res_dtype)
+                x1_buf[slot, s] = x1.astype(res_dtype)
                 state_buf[0] = jnp.where(valid, h0n, h0)
                 state_buf[1] = jnp.where(valid, c0n, c0)
                 state_buf[2] = jnp.where(valid, h1n, h1)
@@ -1798,10 +1803,10 @@ def _lstm2_fwd_res_kernel(
         body,
         ih_buf=pltpu.VMEM((2, chunk, batch, g4), jnp.float32),
         keep_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
-        pk_buf=pltpu.VMEM((2, chunk, batch, RES2_W * h_dim), jnp.float32),
-        h0p_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
-        h1p_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
-        x1_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        pk_buf=pltpu.VMEM((2, chunk, batch, RES2_W * h_dim), res_dtype),
+        h0p_buf=pltpu.VMEM((2, chunk, batch, h_dim), res_dtype),
+        h1p_buf=pltpu.VMEM((2, chunk, batch, h_dim), res_dtype),
+        x1_buf=pltpu.VMEM((2, chunk, batch, h_dim), res_dtype),
         in_sem=pltpu.SemaphoreType.DMA((2, 2)),
         out_sem=pltpu.SemaphoreType.DMA((2, 4)),
         state_buf=pltpu.VMEM((4, batch, h_dim), jnp.float32),
@@ -1816,6 +1821,7 @@ def lstm2_train_fwd_residuals(
     chunk: int = None,
     interpret: bool = False,
     full_unroll: bool = None,
+    res_dtype=jnp.float32,
 ):
     """Forward with consumer-shaped residuals (zero post-processing).
 
@@ -1825,6 +1831,12 @@ def lstm2_train_fwd_residuals(
     the hoisted weight-gradient contractions; ``keep_pad`` the zero-padded
     keep mask (reused by the backward); ``finals`` (4, B, H) =
     [h0, c0, h1, c1] at the last valid step.
+
+    ``res_dtype=bfloat16`` streams the residual series (and nothing else:
+    compute, carries and finals stay f32) at half the HBM traffic — the
+    backward then consumes ROUNDED gates/state, an approximation bounded
+    by bf16 eps on each residual element (opt-in,
+    ``runtime.lstm_residual_dtype``).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1852,16 +1864,16 @@ def lstm2_train_fwd_residuals(
     tile_b = _pick_tile_b(batch)
     kernel = functools.partial(_lstm2_fwd_res_kernel, t_len=t_len,
                                chunk=chunk, tile_b=tile_b,
-                               full_unroll=full_unroll)
+                               full_unroll=full_unroll, res_dtype=res_dtype)
     f32 = jnp.float32
     packed, h0p, h1p, x1, finals = pl.pallas_call(
         kernel,
         grid=(batch // tile_b,),
         out_shape=(
-            jax.ShapeDtypeStruct((t_pad, batch, RES2_W * h_dim), f32),
-            jax.ShapeDtypeStruct((t_pad, batch, h_dim), f32),
-            jax.ShapeDtypeStruct((t_pad, batch, h_dim), f32),
-            jax.ShapeDtypeStruct((t_pad, batch, h_dim), f32),
+            jax.ShapeDtypeStruct((t_pad, batch, RES2_W * h_dim), res_dtype),
+            jax.ShapeDtypeStruct((t_pad, batch, h_dim), res_dtype),
+            jax.ShapeDtypeStruct((t_pad, batch, h_dim), res_dtype),
+            jax.ShapeDtypeStruct((t_pad, batch, h_dim), res_dtype),
             jax.ShapeDtypeStruct((4, batch, h_dim), f32),
         ),
         in_specs=[
@@ -1968,17 +1980,24 @@ def _lstm2_bwd_res_kernel(
             ]
 
         def read_res(slot, s):
-            # packed lane-slice reads (offsets multiples of H — legal)
+            # packed lane-slice reads (offsets multiples of H — legal);
+            # upcast once per step when the stream is bf16 (astype is a
+            # no-op at f32); all cell math stays f32
+            f32 = jnp.float32
             return (
-                pk_buf[slot, s, :, RES2_G0 * h_dim:RES2_G1 * h_dim],
-                pk_buf[slot, s, :, RES2_G1 * h_dim:RES2_C0P * h_dim],
-                pk_buf[slot, s, :, RES2_C0P * h_dim:RES2_C1P * h_dim],
-                pk_buf[slot, s, :, RES2_C1P * h_dim:RES2_W * h_dim],
+                pk_buf[slot, s, :,
+                       RES2_G0 * h_dim:RES2_G1 * h_dim].astype(f32),
+                pk_buf[slot, s, :,
+                       RES2_G1 * h_dim:RES2_C0P * h_dim].astype(f32),
+                pk_buf[slot, s, :,
+                       RES2_C0P * h_dim:RES2_C1P * h_dim].astype(f32),
+                pk_buf[slot, s, :,
+                       RES2_C1P * h_dim:RES2_W * h_dim].astype(f32),
             )
 
         def write_dg(slot, s, dgates0, dgates1):
-            dg0_buf[slot, s] = dgates0
-            dg1_buf[slot, s] = dgates1
+            dg0_buf[slot, s] = dgates0.astype(dg0_buf.dtype)
+            dg1_buf[slot, s] = dgates1.astype(dg1_buf.dtype)
 
         step = _lstm2_step_fn(
             state_buf, keep_buf, dys_buf if has_dys else None,
@@ -1989,10 +2008,10 @@ def _lstm2_bwd_res_kernel(
                             unroll=chunk if full_unroll else 1)
 
     scratch = dict(
-        pk_buf=pltpu.VMEM((2, chunk, batch, RES2_W * h_dim), jnp.float32),
+        pk_buf=pltpu.VMEM((2, chunk, batch, RES2_W * h_dim), pk_hbm.dtype),
         keep_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
-        dg0_buf=pltpu.VMEM((2, chunk, batch, g4), jnp.float32),
-        dg1_buf=pltpu.VMEM((2, chunk, batch, g4), jnp.float32),
+        dg0_buf=pltpu.VMEM((2, chunk, batch, g4), dg0_hbm.dtype),
+        dg1_buf=pltpu.VMEM((2, chunk, batch, g4), dg1_hbm.dtype),
         in_sem=pltpu.SemaphoreType.DMA((2, 3 if has_dys else 2)),
         out_sem=pltpu.SemaphoreType.DMA((2, 2)),
         state_buf=pltpu.VMEM((4, batch, h_dim), jnp.float32),
@@ -2046,12 +2065,16 @@ def lstm2_bwd_chain_padded(
         w_ih1.astype(f32).T,
         w_hh0.astype(f32).T,
     ]
+    # dgates stream in the residual dtype: with bf16 residuals the dg
+    # write+read traffic (2 x (T, B, 4H)) halves too; the in-kernel dh/dc
+    # carries and every matmul stay f32
+    dg_dtype = packed.dtype
     dg0, dg1 = pl.pallas_call(
         kernel,
         grid=(batch // tile_b,),
         out_shape=(
-            jax.ShapeDtypeStruct((t_pad, batch, g4), f32),
-            jax.ShapeDtypeStruct((t_pad, batch, g4), f32),
+            jax.ShapeDtypeStruct((t_pad, batch, g4), dg_dtype),
+            jax.ShapeDtypeStruct((t_pad, batch, g4), dg_dtype),
         ),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (3 if has_dys else 2)
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,

@@ -139,12 +139,28 @@ def _fwd_kernel_ok(x_tm, params):
 
 
 _RES2_MODE = "auto"  # 'auto' | 'off' — benchmark A/B toggle
+# Residual-stream dtype for the v2 kernel pair, read at TRACE time
+# (config: runtime.lstm_residual_dtype).  'bfloat16' halves the dominant
+# HBM streams (packed + h_prev/x1 series out of the forward, dg0/dg1 out
+# of the backward); compute, carries, finals and the forward OUTPUTS stay
+# f32.  Engages only on the final-hidden path (fused_lstm_final): the
+# sequence-output path reconstructs ys from h1_prev, which bf16 would
+# round — a forward-semantics change, not just a gradient approximation.
+_RES2_DTYPE = "float32"  # 'float32' | 'bfloat16'
 
 
 def set_res2_mode(mode: str) -> str:
     global _RES2_MODE
     prev = _RES2_MODE
     _RES2_MODE = mode
+    return prev
+
+
+def set_res2_dtype(dtype: str) -> str:
+    global _RES2_DTYPE
+    prev = _RES2_DTYPE
+    assert dtype in ("float32", "bfloat16")
+    _RES2_DTYPE = dtype
     return prev
 
 
@@ -172,22 +188,30 @@ def _res2_ok(x_tm, params, interpret):
     )
 
 
-def _fwd_pallas_res2(x_tm, keep_tm, params, interpret):
+def _fwd_pallas_res2(x_tm, keep_tm, params, interpret, final_only=False):
     """v2 kernel forward: residuals come out exactly as consumed."""
     from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
         lstm2_train_fwd_residuals,
     )
 
+    res_dtype = (
+        jnp.bfloat16
+        if (final_only and _RES2_DTYPE == "bfloat16")
+        else jnp.float32
+    )
     packed, h0p, h1p, x1, keep_pad, finals, t_pad = (
         lstm2_train_fwd_residuals(
-            x_tm, keep_tm[:, 0], params[0], params[1], interpret=interpret
+            x_tm, keep_tm[:, 0], params[0], params[1], interpret=interpret,
+            res_dtype=res_dtype,
         )
     )
     t_len = x_tm.shape[0]
     # ys(t) = h1_prev(t+1) for t < T-1, ys(T-1) = h1_final; only built when
     # the sequence output is actually consumed (DCE'd on the final-hidden
-    # path)
-    ys = jnp.concatenate([h1p[1:t_len], finals[2][None]], axis=0)
+    # path — and bf16 residuals only engage there, so ys is never built
+    # from rounded h1p)
+    ys = jnp.concatenate(
+        [h1p[1:t_len].astype(finals.dtype), finals[2][None]], axis=0)
     carry = ((finals[0], finals[1]), (finals[2], finals[3]))
     res = {"res2": (packed, h0p, h1p, x1, keep_pad, finals)}
     return carry, ys, res
@@ -220,26 +244,35 @@ def _bwd_impl_res2(saved, dys, dh_final):
     x_pad = x_tm
     if t_pad != t_len:
         x_pad = jnp.pad(x_tm, ((0, t_pad - t_len), (0, 0), (0, 0)))
+    # bf16 residual streams: contract bf16 x bf16 on the MXU with f32
+    # accumulation (weight grads stay f32).  x is cast to the stream dtype
+    # so the dW_ih0 contraction doesn't force a 3-pass mixed-precision dot.
+    x_pad = x_pad.astype(packed.dtype)
 
     def flat(a):
         return a.reshape(t_pad * batch, -1)
 
+    def contract(a, b):
+        return jnp.matmul(flat(a).T, flat(b),
+                          preferred_element_type=jnp.float32)
+
     dparams = (
         {
-            "w_ih": flat(x_pad).T @ flat(dg0),
-            "w_hh": flat(h0p).T @ flat(dg0),
-            "b": dg0.sum(axis=(0, 1)),
+            "w_ih": contract(x_pad, dg0),
+            "w_hh": contract(h0p, dg0),
+            "b": dg0.astype(jnp.float32).sum(axis=(0, 1)),
         },
         {
-            "w_ih": flat(x1).T @ flat(dg1),
-            "w_hh": flat(h1p).T @ flat(dg1),
-            "b": dg1.sum(axis=(0, 1)),
+            "w_ih": contract(x1, dg1),
+            "w_hh": contract(h1p, dg1),
+            "b": dg1.astype(jnp.float32).sum(axis=(0, 1)),
         },
     )
     # d(keep) = d(x1) * h0_new; h0_new(t) = h0_prev(t+1), final from carry.
     # keep is a dropout mask (no grad path in training) — XLA DCEs this.
     dx_l = (dg1 @ params[1]["w_ih"].T)[:t_len]
-    h0_new = jnp.concatenate([h0p[1:t_len], finals[0][None]], axis=0)
+    h0_new = jnp.concatenate(
+        [h0p[1:t_len].astype(finals.dtype), finals[0][None]], axis=0)
     dkeep_tm = (dx_l * h0_new)[:, None]  # (T, 1, B, H)
     dkeep = jnp.transpose(dkeep_tm, (2, 0, 1, 3))
     dx = jnp.swapaxes((dg0 @ params[0]["w_ih"].T)[:t_len], 0, 1)
@@ -422,14 +455,15 @@ def _keep_tm(keep):
     return jnp.transpose(keep, (1, 2, 0, 3))
 
 
-def _fused_fwd(x, keep, params):
+def _fused_fwd(x, keep, params, final_only=False):
     x_tm = jnp.swapaxes(x, 0, 1)
     keep_tm = _keep_tm(keep)
     use_kernel, interpret = _fwd_kernel_ok(x_tm, params)
     if use_kernel:
         if _res2_ok(x_tm, params, interpret):
             carry, ys, res = _fwd_pallas_res2(x_tm, keep_tm, params,
-                                              interpret)
+                                              interpret,
+                                              final_only=final_only)
         else:
             carry, ys, res = _fwd_pallas(x_tm, keep_tm, params, interpret)
         dtype = x.dtype
@@ -511,7 +545,7 @@ def fused_lstm_final(x, keep, params: Tuple[dict, ...]):
 
 
 def _fused_final_fwd(x, keep, params):
-    (ys, h_final), saved = _fused_fwd(x, keep, params)
+    (ys, h_final), saved = _fused_fwd(x, keep, params, final_only=True)
     return h_final, saved
 
 

@@ -135,6 +135,13 @@ class Trainer:
             mode = "auto" if kernels == "force" else kernels
             set_fwd_kernel_mode(mode)
             set_bwd_kernel_mode(mode)
+            from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
+                set_res2_dtype,
+            )
+
+            set_res2_dtype(
+                getattr(cfg.runtime, "lstm_residual_dtype", "float32")
+            )
             # the GSPMD-partitioned EVAL forward has the same lowering
             # constraint for the inference kernel
             set_infer_kernel_enabled(

@@ -636,3 +636,39 @@ def test_classifier_transformer_use_flash_from_config():
         rngs={"dropout": jax.random.PRNGKey(2)},
     )
     assert out_train.shape == (B, 5)
+
+
+def test_per_encoder_dtype_override_mixed_precision():
+    """encoder config 'dtype' key runs that encoder in bf16 while the rest
+    of the model (other encoders, fusion/head, logits) stays f32."""
+    enc_cfg = {
+        "a": {"type": "mlp", "input_dim": D, "hidden_dim": 8, "num_layers": 1,
+              "batch_norm": False, "dtype": "bfloat16"},
+        "b": {"type": "mlp", "input_dim": D, "hidden_dim": 8, "num_layers": 1,
+              "batch_norm": False},
+    }
+    feats = {
+        "a": jax.random.normal(KEY, (B, D)),
+        "b": jax.random.normal(jax.random.PRNGKey(1), (B, D)),
+    }
+    clf = MultimodalClassifier(
+        modalities=("a", "b"), encoder_configs=enc_cfg, num_classes=5,
+        output_dim=6, hidden_dim=8,
+    )
+    variables = _init(clf, feats)
+    logits = clf.apply(variables, feats)
+    assert logits.dtype == jnp.float32
+    assert logits.shape == (B, 5)
+    # params stay f32 (flax keeps param dtype; only compute is bf16)
+    for leaf in jax.tree_util.tree_leaves(variables["params"]):
+        assert leaf.dtype == jnp.float32
+    # the override actually changes encoder-a's compute: its embedding is
+    # bf16-rounded relative to an all-f32 model
+    clf32 = MultimodalClassifier(
+        modalities=("a", "b"), encoder_configs={
+            "a": {k: v for k, v in enc_cfg["a"].items() if k != "dtype"},
+            "b": dict(enc_cfg["b"]),
+        }, num_classes=5, output_dim=6, hidden_dim=8,
+    )
+    logits32 = clf32.apply(variables, feats)
+    assert not np.array_equal(np.asarray(logits), np.asarray(logits32))

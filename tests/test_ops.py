@@ -876,3 +876,78 @@ def test_lstm_residual_native_v2_path_matches_scan():
                          jax.tree_util.tree_leaves(g_k)):
             np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                        rtol=3e-5, atol=3e-5)
+
+
+def test_lstm_residual_bf16_streams_gradient_envelope():
+    """runtime.lstm_residual_dtype=bfloat16 streams the v2 residuals (and
+    the dgates) in bf16.  Contract: forward value EXACT (finals stay f32;
+    bf16 engages only on the final-hidden path), gradients within a bf16
+    rounding envelope of the f32 path, and the seq-output path
+    (fused_lstm) stays untouched (bitwise f32)."""
+    import multimodal_emotion_detection_tpu.ops.lstm_vjp as lv
+
+    b, t, d, h = 8, 21, 12, 128
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    x = jax.random.normal(ks[0], (b, t, d))
+    keep = (jax.random.uniform(ks[1], (b, t, 1, h)) > 0.3).astype(jnp.float32)
+    params = tuple(
+        {
+            "w_ih": 0.3 * jax.random.normal(
+                ks[2 + 3 * l], (d if l == 0 else h, 4 * h)),
+            "w_hh": 0.3 * jax.random.normal(ks[3 + 3 * l], (h, 4 * h)),
+            "b": 0.1 * jax.random.normal(ks[4 + 3 * l], (4 * h,)),
+        }
+        for l in range(2)
+    )
+
+    def run(dtype, seq):
+        # FRESH function objects per leg: jax.jit shares its trace cache
+        # across wrappers of the same function, so reusing one loss fn
+        # would silently skip retracing under the flipped global (the
+        # r3g probe's first envelope leg hit exactly this)
+        def loss_final(x, keep, params):
+            hf = lv.fused_lstm_final(x, keep, params)
+            return jnp.sum(hf * jnp.sin(hf))
+
+        def loss_seq(x, keep, params):
+            ys, h_final = lv.fused_lstm(x, keep, params)
+            return jnp.sum(ys * jnp.cos(ys)) + 2.0 * jnp.sum(h_final**2)
+
+        prev_d = lv.set_res2_dtype(dtype)
+        try:
+            return jax.jit(jax.value_and_grad(
+                loss_seq if seq else loss_final, argnums=(0, 2)
+            ))(x, keep, params)
+        finally:
+            lv.set_res2_dtype(prev_d)
+
+    prev_f = lv.set_fwd_kernel_mode("interpret")
+    prev_b = lv.set_bwd_kernel_mode("interpret")
+    try:
+        v32, g32 = run("float32", seq=False)
+        vs32, gs32 = run("float32", seq=True)
+        v16, g16 = run("bfloat16", seq=False)
+        vs16, gs16 = run("bfloat16", seq=True)
+    finally:
+        lv.set_fwd_kernel_mode(prev_f)
+        lv.set_bwd_kernel_mode(prev_b)
+
+    # forward value: h_final comes out of the f32 finals buffer -> exact
+    np.testing.assert_array_equal(float(v16), float(v32))
+    # gradients: bf16-rounded residuals -> small relative envelope, but
+    # NOT bitwise (a bitwise match would mean bf16 never engaged)
+    rels = []
+    for a, b_ in zip(jax.tree_util.tree_leaves(g32),
+                     jax.tree_util.tree_leaves(g16)):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        denom = max(1e-6, float(np.max(np.abs(a))))
+        rel = float(np.max(np.abs(a - b_))) / denom
+        assert rel < 2e-2, f"bf16 residual grad envelope exceeded: {rel}"
+        rels.append(rel)
+    assert max(rels) > 0.0, "bf16 residual path did not engage (vacuous)"
+    # the sequence-output path must be bitwise-identical (bf16 never
+    # engages there: ys is reconstructed from h1_prev)
+    np.testing.assert_array_equal(float(vs16), float(vs32))
+    for a, b_ in zip(jax.tree_util.tree_leaves(gs32),
+                     jax.tree_util.tree_leaves(gs16)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))

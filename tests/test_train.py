@@ -786,3 +786,22 @@ def test_checkpoint_manager_recovered_name_collision(tmp_path):
     assert m2.best_model_path.name == "epoch=7-val_loss=0.1000.ckpt"
     assert m2.best_model_path.exists()
     assert not (tmp_path / "epoch=6-val_loss=0.1767.ckpt").exists()
+
+
+def test_lstm_residual_dtype_config_plumbed(tmp_path):
+    """runtime.lstm_residual_dtype reaches the trace-time kernel switch
+    when the Trainer builds (the kernels themselves only engage on TPU;
+    this pins the config->set_res2_dtype wiring)."""
+    import multimodal_emotion_detection_tpu.ops.lstm_vjp as lv
+
+    cfg = tiny_config()
+    cfg.runtime.lstm_residual_dtype = "bfloat16"
+    cfg.training.max_epochs = 1
+    train_loader, val_loader, _ = make_loaders(cfg)
+    prev = lv._RES2_DTYPE
+    try:
+        t = Trainer(cfg, save_dir=tmp_path)
+        t.fit(train_loader, val_loader)
+        assert lv._RES2_DTYPE == "bfloat16"
+    finally:
+        lv.set_res2_dtype(prev)
