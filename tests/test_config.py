@@ -137,7 +137,12 @@ def test_list_and_null_values():
 def test_fast_yaml_loads():
     fast = Path(__file__).resolve().parents[1] / "configs" / "fast.yaml"
     cfg = load_config(str(fast))
-    assert cfg.runtime.compute_dtype == "bfloat16"
+    # round-3 fast regime: b32 f32 recurrence kernels + bf16 residual
+    # streams + rbg PRNG (benchmarks/r3f/r3g)
+    assert cfg.runtime.compute_dtype == "float32"
+    assert cfg.runtime.lstm_residual_dtype == "bfloat16"
+    assert cfg.runtime.prng_impl == "rbg"
+    assert cfg.dataset.batch_size == 32
     assert cfg.model.train_fusion == "library"
     assert cfg.model.encoders["audio"]["scan_unroll"] == 4
 
