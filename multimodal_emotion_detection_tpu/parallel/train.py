@@ -35,6 +35,7 @@ def make_sharded_train_step(
     min_shard_dim: int = 256,
     donate: bool = True,
     scan_epoch: bool = False,
+    scan_block: bool = False,
 ) -> Callable:
     """Jit the train step over ``mesh``.
 
@@ -45,15 +46,20 @@ def make_sharded_train_step(
     With ``scan_epoch`` the returned callable takes (S, B) idx/valid
     matrices (batch dim still sharded over 'data') and runs ALL S steps
     as one ``lax.scan`` dispatch — same body, stacked (S,) metrics out.
+    ``scan_block`` takes (E, S, B) matrices and runs a whole validation
+    block of E epochs per dispatch (training.val_every_n_epochs > 1),
+    metrics stacked (E, S).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     st_shardings = state_shardings(state, mesh, min_shard_dim)
     data_sh = replicated(mesh)
-    bsh = (
-        NamedSharding(mesh, P(None, "data")) if scan_epoch
-        else batch_sharding(mesh)
-    )
+    if scan_block:
+        bsh = NamedSharding(mesh, P(None, None, "data"))
+    elif scan_epoch:
+        bsh = NamedSharding(mesh, P(None, "data"))
+    else:
+        bsh = batch_sharding(mesh)
     rep = replicated(mesh)
 
     def step_fn(state: TrainState, features, labels, idx, valid, key):
@@ -131,7 +137,13 @@ def make_sharded_train_step(
             rep,  # key
         )
 
-    if scan_epoch:
+    if scan_block:
+        from multimodal_emotion_detection_tpu.training.steps import (
+            scan_over_epoch_block,
+        )
+
+        run_fn = scan_over_epoch_block(step_fn)
+    elif scan_epoch:
         from multimodal_emotion_detection_tpu.training.steps import (
             scan_over_epoch,
         )
@@ -170,13 +182,16 @@ def make_shardmap_dp_train_step(
     donate: bool = True,
     row_sharded_split: bool = False,
     scan_epoch: bool = False,
+    scan_block: bool = False,
 ) -> Callable:
     """Data-parallel train step via ``shard_map`` (model axis must be 1).
 
     With ``scan_epoch`` the callable takes (S, B) idx/valid matrices
     (batch dim sharded over 'data') and the per-device body runs its S
     local steps as one ``lax.scan`` INSIDE shard_map — one dispatch per
-    epoch, kernels still lowering on local shapes.
+    epoch, kernels still lowering on local shapes.  ``scan_block`` is the
+    block driver on top of that: (E, S, B) matrices, E epochs per
+    dispatch (training.val_every_n_epochs > 1), metrics stacked (E, S).
 
     The GSPMD path partitions one global program, which prevents the
     manual-DMA Pallas recurrence kernels from lowering (they need local
@@ -282,7 +297,14 @@ def make_shardmap_dp_train_step(
             metrics,
         )
 
-    if scan_epoch:
+    if scan_block:
+        from multimodal_emotion_detection_tpu.training.steps import (
+            scan_over_epoch_block,
+        )
+
+        body_fn = scan_over_epoch_block(per_device)
+        batch_spec = P(None, None, "data")
+    elif scan_epoch:
         from multimodal_emotion_detection_tpu.training.steps import (
             scan_over_epoch,
         )

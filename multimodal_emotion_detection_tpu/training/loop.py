@@ -89,6 +89,7 @@ class Trainer:
         self._row_sharded = False
         self._train_step = None
         self._epoch_step = None
+        self._multi_epoch_step = None
         self._eval_step = None
         self._epoch_eval_step = None
         self._schedule = None
@@ -255,6 +256,14 @@ class Trainer:
                         self.model, tx, self._mesh, scan_epoch=True,
                         **step_kwargs,
                     )
+                    if int(getattr(cfg.training,
+                                   "val_every_n_epochs", 1)) > 1:
+                        self._multi_epoch_step = (
+                            make_shardmap_dp_train_step(
+                                self.model, tx, self._mesh,
+                                scan_block=True, **step_kwargs,
+                            )
+                        )
             else:
                 step_kwargs = dict(
                     num_modalities=train_loader.arrays.num_modalities,
@@ -273,6 +282,12 @@ class Trainer:
                         self.model, tx, self._mesh, self.state,
                         scan_epoch=True, **step_kwargs,
                     )
+                    if int(getattr(cfg.training,
+                                   "val_every_n_epochs", 1)) > 1:
+                        self._multi_epoch_step = make_sharded_train_step(
+                            self.model, tx, self._mesh, self.state,
+                            scan_block=True, **step_kwargs,
+                        )
         else:
             self._mesh = None
             self._train_step = make_train_step(
@@ -299,6 +314,23 @@ class Trainer:
                         cfg.runtime, "epoch_pregather", False
                     ),
                 )
+                # block driver for training.val_every_n_epochs > 1: each
+                # validation interval is ONE dispatch (scan of epoch
+                # scans, bit-identical trajectory — tested)
+                if int(getattr(cfg.training, "val_every_n_epochs", 1)) > 1:
+                    from multimodal_emotion_detection_tpu.training.steps \
+                        import make_multi_epoch_train_step
+
+                    self._multi_epoch_step = make_multi_epoch_train_step(
+                        self.model,
+                        tx,
+                        num_modalities=train_loader.arrays.num_modalities,
+                        modality_dropout=(
+                            cfg.training.augmentation.modality_dropout
+                        ),
+                        has_batch_stats=has_bn,
+                        donate=cfg.runtime.donate_state,
+                    )
         # eval jit follows the input shardings automatically (GSPMD)
         self._eval_step = make_eval_step(
             self.model, train_loader.arrays.num_modalities
@@ -357,17 +389,17 @@ class Trainer:
         return jnp.asarray(idx)
 
     def _place_mat(self, mat: np.ndarray, dtype) -> jnp.ndarray:
-        """Place an (S, B) epoch matrix; batch dim sharded under a mesh."""
+        """Place an (S, B) epoch matrix or (E, S, B) block matrix; the
+        trailing batch dim is sharded under a mesh."""
         arr = jnp.asarray(mat, dtype=dtype)
         if (
             self._mesh is not None
-            and mat.shape[1] % self._mesh.shape["data"] == 0
+            and mat.shape[-1] % self._mesh.shape["data"] == 0
         ):
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            return jax.device_put(
-                arr, NamedSharding(self._mesh, P(None, "data"))
-            )
+            spec = P(*([None] * (mat.ndim - 1)), "data")
+            return jax.device_put(arr, NamedSharding(self._mesh, spec))
         return arr
 
     def _place_valid(self, valid: np.ndarray) -> jnp.ndarray:
@@ -425,31 +457,66 @@ class Trainer:
             base_key = jax.device_put(base_key, self._replicated)
         profile_dir = cfg.runtime.profile_dir
 
-        for epoch in range(start_epoch, cfg.training.max_epochs):
-            # ---- train ----
+        val_every = max(
+            1, int(getattr(cfg.training, "val_every_n_epochs", 1))
+        )
+        block_capable = (
+            device_resident and self._multi_epoch_step is not None
+        )
+
+        def epoch_indices(e):
             if self._row_sharded:
                 from multimodal_emotion_detection_tpu.parallel.data import (
                     shard_local_epoch_indices,
                 )
 
-                idx_all, valid_all = shard_local_epoch_indices(
+                return shard_local_epoch_indices(
                     train_loader.num_samples,
                     self._mesh.shape["data"],
                     train_loader.batch_size,
-                    epoch,
+                    e,
                     train_loader.seed,
                     shuffle=train_loader.shuffle,
                 )
-            else:
-                idx_all = train_loader.epoch_batch_indices(epoch)
-                valid_all = train_loader.epoch_batch_valid()
+            return (train_loader.epoch_batch_indices(e),
+                    train_loader.epoch_batch_valid())
+
+        epoch = start_epoch
+        stop = False
+        while epoch < cfg.training.max_epochs and not stop:
+            # ---- train one validation block (blk == 1 unless
+            # training.val_every_n_epochs > 1 and the block driver built) ----
+            blk = (
+                min(val_every, cfg.training.max_epochs - epoch)
+                if (val_every > 1 and block_capable)
+                else 1
+            )
+            epochs = list(range(epoch, epoch + blk))
+            per_epoch = [epoch_indices(e) for e in epochs]
+            idx_all, valid_all = per_epoch[0]
             self.timer.reset()
             self.timer.start()
-            if profile_dir and epoch == min(1, cfg.training.max_epochs - 1):
+            trace_epoch = min(1, cfg.training.max_epochs - 1)
+            tracing = profile_dir and epochs[0] <= trace_epoch <= epochs[-1]
+            if tracing:
                 jax.profiler.start_trace(str(profile_dir))
             epoch_metrics = []
             stacked_dev = None
-            if device_resident and self._epoch_step is not None:
+            if blk > 1:
+                # ONE dispatch for the whole block: scan of epoch scans
+                self.state, stacked_dev = self._multi_epoch_step(
+                    self.state,
+                    feats,
+                    labels,
+                    self._place_mat(
+                        np.stack([p[0] for p in per_epoch]), jnp.int32
+                    ),
+                    self._place_mat(
+                        np.stack([p[1] for p in per_epoch]), jnp.float32
+                    ),
+                    base_key,
+                )
+            elif device_resident and self._epoch_step is not None:
                 # one dispatch per epoch: lax.scan over all (S, B) batches
                 self.state, stacked_dev = self._epoch_step(
                     self.state,
@@ -491,12 +558,16 @@ class Trainer:
             # block_until_ready can return before execution completes,
             # which would make the logged clips/sec dispatch-only
             if stacked_dev is not None:
-                stacked = jax.device_get(stacked_dev)
+                stacked_blk = jax.device_get(stacked_dev)
+                if blk == 1:
+                    stacked_blk = jax.tree_util.tree_map(
+                        lambda a: a[None], stacked_blk
+                    )
             elif epoch_metrics:
                 float(jax.device_get(epoch_metrics[-1]["loss"]))
-                stacked = jax.device_get(
+                stacked_blk = jax.device_get(
                     jax.tree_util.tree_map(
-                        lambda *xs: jnp.stack(xs), *epoch_metrics
+                        lambda *xs: jnp.stack(xs)[None], *epoch_metrics
                     )
                 )
             else:
@@ -505,89 +576,118 @@ class Trainer:
                     f"{train_loader.num_samples} rows, batch_size "
                     f"{train_loader.batch_size})"
                 )
-            if profile_dir and epoch == min(1, cfg.training.max_epochs - 1):
+            if tracing:
                 jax.profiler.stop_trace()
-            train_time = self.timer.stop(int(valid_all.sum()))
-            # sample-weighted epoch means (batches may carry wrap padding)
-            weights = np.maximum(np.asarray(stacked["count"]), 1e-9)
-            weights = weights / weights.sum()
-
-            def wmean(key):
-                return float(np.sum(np.asarray(stacked[key]) * weights))
-
-            train_row = {
-                "train/loss": wmean("loss"),
-                "train/acc": wmean("acc"),
-                "train/confidence_mean": wmean("confidence_mean"),
-            }
-
-            # ---- validate ----
-            val_row = self.validate(val_loader, prefix="val")
-
-            # CSV rows mirror the reference's Lightning cadence exactly
-            # (grid_sweep_results/*/metrics.csv): per epoch, an lr row at
-            # the epoch's first global step (LearningRateMonitor,
-            # interval='epoch', epoch cell empty), then a val row and a
-            # train row at the epoch's last global step.  Optional
-            # within-epoch rows every ``experiment.log_every_n_steps``
-            # carry Lightning's on_step '*_step' column names so the
-            # epoch-level columns still diff directly.
-            step = int(jax.device_get(self.state.step))
-            steps_this_epoch = idx_all.shape[0]
-            epoch_start_step = step - steps_this_epoch
-            lr_start = float(jax.device_get(self._schedule(epoch_start_step)))
-            self.csv_logger.log_metrics(
-                {f"lr-{self._opt_name}": lr_start}, step=epoch_start_step
-            )
+            block_valid = float(sum(p[1].sum() for p in per_epoch))
+            train_time = self.timer.stop(int(block_valid))
+            epoch_time = train_time / blk if blk else train_time
+            end_step = int(jax.device_get(self.state.step))
             log_n = int(
                 getattr(self.config.experiment, "log_every_n_steps", 0) or 0
             )
-            if log_n > 0:
-                losses = np.asarray(stacked["loss"])
-                accs = np.asarray(stacked["acc"])
-                for j in range(steps_this_epoch):
-                    g = epoch_start_step + j
-                    if (g + 1) % log_n == 0:
-                        self.csv_logger.log_metrics(
-                            {
-                                "train/loss_step": float(losses[j]),
-                                "train/acc_step": float(accs[j]),
-                            },
-                            step=g,
-                            epoch=epoch,
-                        )
-            self.csv_logger.log_metrics(val_row, step=step - 1, epoch=epoch)
-            perf_row = {
-                **train_row,
-                "train/clips_per_sec": (
-                    float(valid_all.sum()) / train_time if train_time > 0 else 0.0
-                ),
-            }
-            self.csv_logger.log_metrics(perf_row, step=step - 1, epoch=epoch)
 
-            row = {
-                **train_row,
-                **val_row,
-                f"lr-{self._opt_name}": lr_start,
-                "train/clips_per_sec": perf_row["train/clips_per_sec"],
-            }
-            self.tb_logger.log_metrics(row, step=step, epoch=epoch)
-            self.history.append({"epoch": epoch, **row})
-            print(
-                f"epoch {epoch:3d} | loss {row['train/loss']:.4f} "
-                f"acc {row['train/acc']:.4f} | val_loss {row['val/loss']:.4f} "
-                f"val_acc {row['val/acc']:.4f} | "
-                f"{row['train/clips_per_sec']:.1f} clips/s"
-            )
-
-            # ---- checkpoint + early stop on val/loss ----
-            self.checkpoints.on_epoch_end(self.state, epoch, row["val/loss"])
-            if self.early_stopping.update(row["val/loss"]):
-                print(
-                    f"Early stopping at epoch {epoch} "
-                    f"(patience {cfg.training.early_stopping_patience})"
+            # ---- per-epoch logging; val/ckpt/early-stop at block end ----
+            for j, e in enumerate(epochs):
+                stacked = jax.tree_util.tree_map(
+                    lambda a: a[j], stacked_blk
                 )
-                break
+                e_idx, e_valid = per_epoch[j]
+                # sample-weighted epoch means (wrap-padded batches)
+                weights = np.maximum(np.asarray(stacked["count"]), 1e-9)
+                weights = weights / weights.sum()
+
+                def wmean(key):
+                    return float(np.sum(np.asarray(stacked[key]) * weights))
+
+                train_row = {
+                    "train/loss": wmean("loss"),
+                    "train/acc": wmean("acc"),
+                    "train/confidence_mean": wmean("confidence_mean"),
+                }
+
+                is_val_epoch = j == blk - 1
+                # ---- validate (block boundary; every epoch when blk=1 —
+                # Lightning's check_val_every_n_epoch semantics) ----
+                val_row = (
+                    self.validate(val_loader, prefix="val")
+                    if is_val_epoch else {}
+                )
+
+                # CSV rows mirror the reference's Lightning cadence exactly
+                # (grid_sweep_results/*/metrics.csv): per epoch, an lr row
+                # at the epoch's first global step (LearningRateMonitor,
+                # interval='epoch', epoch cell empty), then a val row (on
+                # val epochs) and a train row at the epoch's last global
+                # step.  Optional within-epoch rows every
+                # ``experiment.log_every_n_steps`` carry Lightning's
+                # on_step '*_step' column names.
+                steps_this_epoch = e_idx.shape[0]
+                step = end_step - (blk - 1 - j) * steps_this_epoch
+                epoch_start_step = step - steps_this_epoch
+                lr_start = float(
+                    jax.device_get(self._schedule(epoch_start_step))
+                )
+                self.csv_logger.log_metrics(
+                    {f"lr-{self._opt_name}": lr_start}, step=epoch_start_step
+                )
+                if log_n > 0:
+                    losses = np.asarray(stacked["loss"])
+                    accs = np.asarray(stacked["acc"])
+                    for s in range(steps_this_epoch):
+                        g = epoch_start_step + s
+                        if (g + 1) % log_n == 0:
+                            self.csv_logger.log_metrics(
+                                {
+                                    "train/loss_step": float(losses[s]),
+                                    "train/acc_step": float(accs[s]),
+                                },
+                                step=g,
+                                epoch=e,
+                            )
+                if val_row:
+                    self.csv_logger.log_metrics(val_row, step=step - 1,
+                                                epoch=e)
+                perf_row = {
+                    **train_row,
+                    "train/clips_per_sec": (
+                        float(e_valid.sum()) / epoch_time
+                        if epoch_time > 0 else 0.0
+                    ),
+                }
+                self.csv_logger.log_metrics(perf_row, step=step - 1, epoch=e)
+
+                row = {
+                    **train_row,
+                    **val_row,
+                    f"lr-{self._opt_name}": lr_start,
+                    "train/clips_per_sec": perf_row["train/clips_per_sec"],
+                }
+                self.tb_logger.log_metrics(row, step=step, epoch=e)
+                self.history.append({"epoch": e, **row})
+                val_str = (
+                    f"val_loss {row['val/loss']:.4f} "
+                    f"val_acc {row['val/acc']:.4f}"
+                    if val_row else "val --"
+                )
+                print(
+                    f"epoch {e:3d} | loss {row['train/loss']:.4f} "
+                    f"acc {row['train/acc']:.4f} | {val_str} | "
+                    f"{row['train/clips_per_sec']:.1f} clips/s"
+                )
+
+                # ---- checkpoint + early stop on val/loss (val epochs;
+                # patience counts validation checks, as Lightning does) ----
+                if is_val_epoch:
+                    self.checkpoints.on_epoch_end(self.state, e,
+                                                  row["val/loss"])
+                    if self.early_stopping.update(row["val/loss"]):
+                        print(
+                            f"Early stopping at epoch {e} "
+                            f"(patience "
+                            f"{cfg.training.early_stopping_patience})"
+                        )
+                        stop = True
+            epoch += blk
         return self.state
 
     # ------------------------------------------------------------------

@@ -431,6 +431,40 @@ def test_shardmap_dp_epoch_scan_matches_per_step():
     np.testing.assert_array_equal(run("on", "scan"), run("off", "loop"))
 
 
+def test_shardmap_dp_val_block_driver_bitwise():
+    """Under shardmap_dp, training.val_every_n_epochs=2 runs each 2-epoch
+    block as ONE dispatch (scan of epoch scans inside the shard_map
+    body); per-epoch train metrics match the per-epoch driver bitwise."""
+    from multimodal_emotion_detection_tpu.training.loop import Trainer
+    from tests.test_train import make_loaders, tiny_config
+
+    def run(val_every, tag):
+        cfg = tiny_config()
+        cfg.parallel.data_parallel = 4
+        cfg.parallel.model_parallel = 1
+        cfg.parallel.strategy = "shardmap_dp"
+        cfg.training.max_epochs = 4
+        cfg.training.val_every_n_epochs = val_every
+        cfg.runtime.epoch_scan = "on"
+        train_loader, val_loader, _ = make_loaders(cfg)
+        t = Trainer(cfg, save_dir=f"/tmp/shardmap_vblock_{tag}")
+        t.fit(train_loader, val_loader)
+        assert (t._multi_epoch_step is not None) == (val_every > 1)
+        return t.history
+
+    h1 = run(1, "every")
+    h2 = run(2, "block")
+    assert len(h1) == len(h2) == 4
+    for r1, r2 in zip(h1, h2):
+        assert r1["train/loss"] == r2["train/loss"]
+        assert r1["train/acc"] == r2["train/acc"]
+    for e, r2 in enumerate(h2):
+        if e in (1, 3):
+            assert r2["val/loss"] == h1[e]["val/loss"]
+        else:
+            assert "val/loss" not in r2
+
+
 def test_shardmap_dp_composes_with_kernels():
     """The Pallas recurrence kernels lower inside shard_map bodies.
 

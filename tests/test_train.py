@@ -805,3 +805,68 @@ def test_lstm_residual_dtype_config_plumbed(tmp_path):
         assert lv._RES2_DTYPE == "bfloat16"
     finally:
         lv.set_res2_dtype(prev)
+
+
+def test_val_every_n_epochs_block_driver_bitwise(tmp_path):
+    """training.val_every_n_epochs=3 dispatches each 3-epoch block as ONE
+    scan-of-scans program.  Per-epoch TRAIN metrics must be bit-identical
+    to the per-epoch driver, and the val metrics it does produce (block
+    boundaries) must equal the per-epoch run's val metrics at those
+    epochs (same state trajectory)."""
+    def run(val_every, tag):
+        cfg = tiny_config()
+        cfg.training.max_epochs = 6
+        cfg.training.val_every_n_epochs = val_every
+        cfg.runtime.epoch_scan = "on"
+        train_loader, val_loader, _ = make_loaders(cfg)
+        t = Trainer(cfg, save_dir=tmp_path / tag)
+        t.fit(train_loader, val_loader)
+        return t.history
+
+    h1 = run(1, "every")
+    h3 = run(3, "block")
+    assert len(h1) == len(h3) == 6
+    for r1, r3 in zip(h1, h3):
+        assert r1["train/loss"] == r3["train/loss"]
+        assert r1["train/acc"] == r3["train/acc"]
+    # val rows only at block boundaries (epochs 2 and 5), equal to the
+    # per-epoch run's values there
+    for e, r3 in enumerate(h3):
+        if e in (2, 5):
+            assert r3["val/loss"] == h1[e]["val/loss"]
+            assert r3["val/acc"] == h1[e]["val/acc"]
+        else:
+            assert "val/loss" not in r3
+
+
+def test_val_every_n_epochs_ragged_final_block(tmp_path):
+    """max_epochs not a multiple of the block size: the final short block
+    still trains, validates, and checkpoints."""
+    cfg = tiny_config()
+    cfg.training.max_epochs = 5
+    cfg.training.val_every_n_epochs = 3
+    cfg.runtime.epoch_scan = "on"
+    train_loader, val_loader, _ = make_loaders(cfg)
+    t = Trainer(cfg, save_dir=tmp_path)
+    t.fit(train_loader, val_loader)
+    assert len(t.history) == 5
+    assert "val/loss" in t.history[2] and "val/loss" in t.history[4]
+    assert t.checkpoints.best_model_path is not None
+
+
+def test_val_every_n_epochs_early_stop_counts_val_checks(tmp_path):
+    """Early-stopping patience counts VALIDATION checks (Lightning
+    semantics), so with val_every_n_epochs=2 and patience=2 the run can
+    stop only at a block boundary."""
+    cfg = tiny_config()
+    cfg.training.max_epochs = 20
+    cfg.training.val_every_n_epochs = 2
+    cfg.training.early_stopping_patience = 2
+    cfg.training.learning_rate = 0.0  # no progress -> patience exhausts
+    cfg.runtime.epoch_scan = "on"
+    train_loader, val_loader, _ = make_loaders(cfg)
+    t = Trainer(cfg, save_dir=tmp_path)
+    t.fit(train_loader, val_loader)
+    stopped_at = t.history[-1]["epoch"]
+    assert stopped_at < 19  # actually stopped early
+    assert (stopped_at + 1) % 2 == 0  # at a block boundary
