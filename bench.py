@@ -20,7 +20,9 @@ additionally timed in a subprocess with a timeout (the tunneled axon
 backend has wedged on kernel faults before) and reported — the faster of
 the candidates becomes ``value``.  Candidates include the throughput
 config (configs/fast.yaml: rbg hardware PRNG + bf16 residual streams on
-the identical architecture — same FLOPs, runtime knobs only; r3f/r3g).
+the identical architecture — same FLOPs, runtime knobs only; r3f/r3g)
+and its val-interval block driver (training.val_every_n_epochs=10: one
+compiled dispatch per 10-epoch block; r3j).
 """
 
 from __future__ import annotations
@@ -131,7 +133,16 @@ def _build(frontend: str, batch: int, n_rows: int, seed: int = 0,
         model, tx, sample, jnp.ones((batch, 2), jnp.float32),
         jax.random.PRNGKey(0),
     )
-    if scan:
+    if scan == "block":
+        from multimodal_emotion_detection_tpu.training.steps import (
+            make_multi_epoch_train_step,
+        )
+
+        step = make_multi_epoch_train_step(
+            model, tx, num_modalities=2, modality_dropout=0.1,
+            has_batch_stats=bool(state.model_state),
+        )
+    elif scan:
         step = make_epoch_train_step(
             model, tx, num_modalities=2, modality_dropout=0.1,
             has_batch_stats=bool(state.model_state), pregather=pregather,
@@ -202,13 +213,58 @@ def _time_epoch_scan(state, epoch_step, features, labels, batch, n_rows,
     return S * B * iters / dt, state
 
 
+def _time_epoch_block(state, block_step, features, labels, batch, n_rows,
+                      warmup_blocks, blocks, epochs_per_block=10,
+                      steps_per_epoch=8):
+    """Time the val-interval block driver: ONE dispatch per E epochs
+    (training.val_every_n_epochs=E,
+    training/steps.py:make_multi_epoch_train_step)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    E, S, B = epochs_per_block, steps_per_epoch, batch
+    mats = [
+        jnp.asarray(
+            np.stack([
+                (np.arange(S * B).reshape(S, B) + (b * E + e) * S * B)
+                % n_rows
+                for e in range(E)
+            ]),
+            dtype=jnp.int32,
+        )
+        for b in range(warmup_blocks + blocks)
+    ]
+    valid = jnp.ones((E, S, B), jnp.float32)
+    metrics = None
+    for b in range(warmup_blocks):
+        state, metrics = block_step(state, features, labels, mats[b],
+                                    valid, key)
+    float(metrics["loss"][-1, -1])  # VALUE FETCH sync (see _time_steps)
+    t0 = time.perf_counter()
+    for b in range(warmup_blocks, warmup_blocks + blocks):
+        state, metrics = block_step(state, features, labels, mats[b],
+                                    valid, key)
+    last_loss = float(metrics["loss"][-1, -1])
+    dt = time.perf_counter() - t0
+    assert last_loss == last_loss, "NaN loss in benchmark"
+    return E * S * B * blocks / dt, state
+
+
 def run_one(frontend: str, batch: int, n_rows: int, warmup: int, iters: int,
             compute_dtype: str = "float32", epoch_scan: bool = False,
-            big: bool = False):
+            big: bool = False, block_epochs: int = 0):
     state, step, features, labels = _build(
         frontend, batch, n_rows, compute_dtype=compute_dtype,
-        scan=epoch_scan, big=big,
+        scan="block" if block_epochs else epoch_scan, big=big,
     )
+    if block_epochs:
+        cps, _ = _time_epoch_block(
+            state, step, features, labels, batch, n_rows,
+            warmup_blocks=max(1, warmup // 2), blocks=iters,
+            epochs_per_block=block_epochs,
+        )
+        return cps
     if epoch_scan:
         cps, _ = _time_epoch_scan(
             state, step, features, labels, batch, n_rows, warmup, iters,
@@ -301,6 +357,23 @@ def main():
             jax.config.update("jax_default_prng_impl", "threefry2x32")
     except Exception:
         fast_cps = None
+    # fast config + val-interval block driver
+    # (training.val_every_n_epochs=10, configs/fast.yaml): ONE dispatch
+    # per 10 epochs — removes the per-epoch dispatch gap the r3i trace
+    # measured at ~40% of flagship wall-time (r3j_tpu.json)
+    try:
+        import multimodal_emotion_detection_tpu.ops.lstm_vjp as _lv
+
+        jax.config.update("jax_default_prng_impl", "rbg")
+        _lv.set_res2_dtype("bfloat16")
+        try:
+            fast_block_cps = run_one("logmel_cached", batch, n_rows,
+                                     warmup=2, iters=3, block_epochs=10)
+        finally:
+            _lv.set_res2_dtype("float32")
+            jax.config.update("jax_default_prng_impl", "threefry2x32")
+    except Exception:
+        fast_block_cps = None
     # large-batch bf16 point (the round-2 peak regime; the b32 fast path
     # overtook it in round 3 — kept for the regime comparison)
     try:
@@ -339,6 +412,11 @@ def main():
         # same architecture + FLOPs; runtime knobs only (rbg PRNG, bf16
         # residual streams) — configs/fast.yaml
         candidates["logmel_cached_fast"] = fast_cps
+    if fast_block_cps is not None:
+        # fast knobs + training.val_every_n_epochs=10 (Lightning's
+        # check_val_every_n_epoch): same per-step trajectory, val at
+        # 10-epoch boundaries, one dispatch per block
+        candidates["logmel_cached_fast_vblock"] = fast_block_cps
     best_name = max(candidates, key=candidates.get)
     value = candidates[best_name]
     # the fast point shares the cached-frontend FLOPs/attainable model
@@ -399,6 +477,10 @@ def main():
             # configs/fast.yaml: rbg PRNG + bf16 residual streams on the
             # same b32 architecture (r3f/r3g_tpu.json)
             round(fast_cps, 2) if fast_cps is not None else None
+        ),
+        "flagship_fast_vblock_clips_per_sec": (
+            # + training.val_every_n_epochs=10 block driver (r3j_tpu.json)
+            round(fast_block_cps, 2) if fast_block_cps is not None else None
         ),
         "peak_clips_per_sec_b256_bf16": (
             round(peak_cps, 2) if peak_cps is not None else None

@@ -145,6 +145,9 @@ def test_fast_yaml_loads():
     assert cfg.dataset.batch_size == 32
     assert cfg.model.train_fusion == "library"
     assert cfg.model.encoders["audio"]["scan_unroll"] == 4
+    # r3j: 10-epoch val blocks as one dispatch; patience counts val checks
+    assert cfg.training.val_every_n_epochs == 10
+    assert cfg.training.early_stopping_patience == 3
 
 
 def test_train_cli_arg_parsing():

@@ -702,6 +702,10 @@ def test_trainer_row_sharded_end_to_end(tmp_path):
     setattr_path(cfg, "parallel.strategy", "shardmap_dp")
     setattr_path(cfg, "parallel.shard_data_rows", True)
     setattr_path(cfg, "parallel.model_parallel", 1)
+    # exercise the val-block driver on the row-sharded path too: one
+    # 2-epoch block dispatched as a single scan-of-scans program
+    setattr_path(cfg, "training.val_every_n_epochs", 2)
+    setattr_path(cfg, "runtime.epoch_scan", "on")
     loaders = create_dataloaders(
         "synthetic", "", cfg.dataset.modalities,
         batch_size=cfg.dataset.batch_size,
