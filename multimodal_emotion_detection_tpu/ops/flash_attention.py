@@ -80,11 +80,48 @@ def attention_reference(
 # ---------------------------------------------------------------------------
 
 
+# trace-time switch: packed mode unpacks FOUR 8-bit keep masks from each
+# 32-bit PRNG word (legacy: one word per mask).  r2w measured in-kernel
+# dropout ~parity with the XLA MHA fallback at T=375 because PRNG bit
+# generation dominates either way; packing quarters the generated vregs.
+# MEASURED NO-WIN on chip (benchmarks/r3k_tpu.json: +3% isolated T=375,
+# -4% T=3000, +0.1% full transformer step) — the PRNG cost is evidently
+# not vreg-count-bound, and the unpack shifts give back what generation
+# saves.  Ships OFF (full-step evidence decides defaults, in both
+# directions — same rule as GRU_BWD2/epoch_pregather); the switch keeps
+# the lever testable.
+_DROPOUT_PACKED = False
+
+
+def set_dropout_packed(on: bool) -> None:
+    """Trace-time A/B switch for the packed dropout PRNG (r3k probe)."""
+    global _DROPOUT_PACKED
+    _DROPOUT_PACKED = bool(on)
+
+
+def _packed_threshold(rate: float) -> tuple[int, float]:
+    """8-bit drop threshold + exact rescale for the packed mask.
+
+    The keep test is ``byte >= thr`` with ``thr = round(rate * 256)``, so
+    the EFFECTIVE drop rate is quantized to thr/256 (granularity 1/256;
+    rates below 1/512 quantize to no-op — real dropout rates are 0.1+).
+    The rescale uses the actual quantized keep probability, making
+    E[mask] == 1 exactly rather than carrying the quantization as a
+    systematic scale bias."""
+    thr = min(int(round(rate * 256.0)), 255)
+    return thr, 256.0 / (256.0 - thr)
+
+
 def _attn_dropout_mask(seed_ref, rate: float, shape, b, h, iq, ik):
     """Deterministic per-(batch, head, q-block, k-block) keep mask, scaled
-    by 1/(1-rate).  Seeding the TPU PRNG with the block coordinates makes
-    the mask reproducible across the forward and both backward passes
-    (which visit blocks in different grid orders)."""
+    to E[mask] == 1.  Seeding the TPU PRNG with the block coordinates
+    makes the mask reproducible across the forward and both backward
+    passes (which visit blocks in different grid orders).
+
+    Packed mode (default): ONE 32-bit word yields FOUR 8-bit masks,
+    stacked along sublanes (the lane dim stays full width, so the PRNG
+    materializes ~4x fewer vregs — its per-vreg stepping is the dominant
+    cost of in-kernel dropout at short T)."""
     from jax.experimental.pallas import tpu as pltpu
 
     # Mosaic's prng_set_seed_32 takes at most TWO i32 seeds: fold the
@@ -97,11 +134,26 @@ def _attn_dropout_mask(seed_ref, rate: float, shape, b, h, iq, ik):
         + jnp.int32(ik)
     )
     pltpu.prng_seed(s1, s2)
-    bits = pltpu.prng_random_bits(shape)  # int32
-    # uniform over 2^32: P(bits_u32 < rate * 2^32) = rate -> dropped
-    threshold = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
-    keep = bits.astype(jnp.uint32) >= threshold
-    return keep.astype(jnp.float32) * (1.0 / (1.0 - rate))
+    if not _DROPOUT_PACKED:
+        bits = pltpu.prng_random_bits(shape)  # int32
+        # uniform over 2^32: P(bits_u32 < rate * 2^32) = rate -> dropped
+        threshold = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+        keep = bits.astype(jnp.uint32) >= threshold
+        return keep.astype(jnp.float32) * (1.0 / (1.0 - rate))
+    rows, cols = shape
+    rw = (rows + 3) // 4  # word rows: 4 mask rows per word row
+    thr, scale = _packed_threshold(rate)
+    u = pltpu.prng_random_bits((rw, cols)).astype(jnp.uint32)
+    t8 = jnp.uint32(thr)
+    planes = [
+        (((u >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)) >= t8)
+        .astype(jnp.float32)
+        for j in range(4)
+    ]
+    keep = jnp.concatenate(planes, axis=0)
+    if 4 * rw != rows:
+        keep = keep[:rows]
+    return keep * jnp.float32(scale)
 
 
 def _fwd_kernel(

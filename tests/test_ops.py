@@ -308,6 +308,48 @@ def test_flash_attention_dropout_arg_validation():
                         interpret=True)
 
 
+def test_flash_dropout_packed_threshold_math():
+    """The packed 8-bit dropout threshold quantizes the rate to 1/256 and
+    rescales by the ACTUAL quantized keep probability (E[mask] == 1
+    exactly).  The kernel itself is chip-only (benchmarks/r3k_tpu.py
+    validates mask extraction/gradients on hardware); this pins the host
+    -side math both passes share."""
+    from multimodal_emotion_detection_tpu.ops.flash_attention import (
+        _packed_threshold,
+    )
+
+    for rate in (0.1, 0.2, 0.3, 0.5, 0.9):
+        thr, scale = _packed_threshold(rate)
+        assert 0 <= thr <= 255
+        assert abs(thr / 256.0 - rate) <= 0.5 / 256.0 + 1e-12
+        # exact inverse of the quantized keep probability
+        assert scale == 256.0 / (256.0 - thr)
+    # degenerate corners: tiny rates quantize to a no-op (scale 1);
+    # rates near 1 stay below the all-drop threshold
+    assert _packed_threshold(1e-4) == (0, 1.0)
+    thr_hi, _ = _packed_threshold(0.999)
+    assert thr_hi == 255
+
+
+def test_flash_dropout_packed_switch_roundtrip():
+    import importlib
+
+    # the ops package __init__ re-exports the flash_attention FUNCTION,
+    # shadowing the submodule on attribute access — import_module gets
+    # the module itself
+    fam = importlib.import_module(
+        "multimodal_emotion_detection_tpu.ops.flash_attention"
+    )
+
+    assert not fam._DROPOUT_PACKED  # measured no-win on chip: ships OFF
+    fam.set_dropout_packed(True)
+    try:
+        assert fam._DROPOUT_PACKED
+    finally:
+        fam.set_dropout_packed(False)
+    assert not fam._DROPOUT_PACKED
+
+
 def test_transformer_flash_dropout_falls_back_on_cpu():
     """use_flash + active attention dropout trains on CPU via the XLA MHA
     fallback (the in-kernel PRNG is TPU-only)."""
