@@ -222,12 +222,13 @@ class RuntimeConfig:
     # Pallas in-kernel LSTM recurrence for training fwd/bwd:
     # 'auto' (on TPU when the shape qualifies) | 'off' (XLA scans)
     lstm_kernels: str = "auto"
-    # Residual-stream dtype for the residual-native LSTM kernel pair:
-    # 'float32' (exact) | 'bfloat16' (halves the dominant HBM streams —
-    # the r3f trace shows both recurrence kernels bandwidth-bound on
-    # them; the backward then consumes bf16-rounded gates/state, a
-    # gradient approximation bounded by bf16 eps per element).  Engages
-    # only on the final-hidden encoder path; forward outputs stay f32.
+    # Residual-stream dtype for the residual-native recurrence kernel
+    # pairs (LSTM r3c/r3g, GRU twin r3l): 'float32' (exact) | 'bfloat16'
+    # (halves the dominant HBM streams — the r3f trace shows both
+    # recurrence kernels bandwidth-bound on them; the backward then
+    # consumes bf16-rounded gates/state, a gradient approximation bounded
+    # by bf16 eps per element).  Engages only on the final-hidden encoder
+    # path; forward outputs stay f32.
     lstm_residual_dtype: str = "float32"
     # Checkpoint serialization: 'auto' (orbax under a multi-device mesh —
     # sharding-preserving, restore-reshard capable — msgpack otherwise) |

@@ -387,15 +387,19 @@ class FusedStackedRNN(nn.Module):
                 ).astype(dtype) / (1.0 - self.dropout)
             else:
                 keep_bt = jnp.ones((batch, t_len, n_drop, h_dim), dtype)
-            if not need_sequence and self.cell_type == "lstm":
+            if not need_sequence:
                 # sequence cotangent is structurally zero: the dys-free
-                # backward (ops/lstm_vjp.fused_lstm_final) skips streaming
-                # it; same None sentinel as the inference-kernel path
+                # backward (ops/lstm_vjp.fused_{lstm,gru}_final) skips
+                # streaming it; same None sentinel as the inference-kernel
+                # path
                 from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
+                    fused_gru_final,
                     fused_lstm_final,
                 )
 
-                h_final = fused_lstm_final(x, keep_bt, tuple(layers))
+                final_fn = (fused_lstm_final if self.cell_type == "lstm"
+                            else fused_gru_final)
+                h_final = final_fn(x, keep_bt, tuple(layers))
                 return None, h_final
             fn = fused_lstm if self.cell_type == "lstm" else fused_gru
             ys, h_final = fn(x, keep_bt, tuple(layers))

@@ -2085,3 +2085,477 @@ def lstm2_bwd_chain_padded(
         interpret=interpret,
     )(*operands)
     return dg0, dg1
+
+
+# ---------------------------------------------------------------------------
+# GRU residual-native training pair (v2) — the round-3 LSTM redesign
+# (docs/KERNELS.md "Round 3: residual-native training pair") applied to the
+# GRU twin.  The legacy GRU kernel path pays every cost the LSTM v2
+# removed: the forward emits POST-step series the VJP shift-copies into
+# h_prev, x1 = h0n*keep is rebuilt outside, the fused backward RE-PACKS
+# ten (T, B, H) series into two 5H buffers before launching (r2p measured
+# it slower than the layered chains for exactly this movement), and both
+# ends slice [:t_len].  Here the forward writes the residuals the
+# backward actually reads — pre-step h series + gate activations packed
+# by consumer — padding aligns both chunk walks, and the backward emits
+# dih plus ONLY the dhn lane (dhh shares its first 2H lanes with dih), so
+# the output stream is 4H per layer instead of 6H.
+# ---------------------------------------------------------------------------
+
+GRU_RES2_W = 8  # packed fwd residual width in H units: [r|z|n|hn] x 2 layers
+
+
+def _gru2_fwd_res_kernel(
+    ih0_hbm,    # (T_pad, B, 3H) ANY — hoisted layer-0 input projections
+    keep_hbm,   # (T_pad, B, H) ANY — keep mask (zero at pad rows)
+    w_hh0_ref,  # (H, 3H) VMEM
+    b_hh0_ref,  # (1, 3H) VMEM
+    w_ih1_ref,  # (H, 3H) VMEM
+    b_ih1_ref,  # (1, 3H) VMEM
+    w_hh1_ref,  # (H, 3H) VMEM
+    b_hh1_ref,  # (1, 3H) VMEM
+    pk_hbm,     # (T_pad, B, 8H) ANY out — packed [r0|z0|n0|hn0|r1|z1|n1|hn1]
+    h0p_hbm,    # (T_pad, B, H) ANY out — layer-0 h_prev series
+    h1p_hbm,    # (T_pad, B, H) ANY out — layer-1 h_prev series
+    x1_hbm,     # (T_pad, B, H) ANY out — layer-1 input series h0_new*keep
+    fin_ref,    # (2, B, H) VMEM out — finals [h0, h1]
+    *,
+    t_len: int,
+    chunk: int,
+    tile_b: int,
+    full_unroll: bool,
+    res_dtype=jnp.float32,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = tile_b
+    h_dim = w_hh0_ref.shape[0]
+    g3 = 3 * h_dim
+    num_chunks = ih0_hbm.shape[0] // chunk
+    b0 = pl.program_id(0) * tile_b
+
+    def body(ih_buf, keep_buf, pk_buf, h0p_buf, h1p_buf, x1_buf,
+             in_sem, out_sem, state_buf):
+        state_buf[:] = jnp.zeros((2, batch, h_dim), jnp.float32)
+        w_hh0 = w_hh0_ref[:]
+        b_hh0 = b_hh0_ref[:]
+        w_ih1 = w_ih1_ref[:]
+        b_ih1 = b_ih1_ref[:]
+        w_hh1 = w_hh1_ref[:]
+        b_hh1 = b_hh1_ref[:]
+
+        dma_in = _chunked_in_copies((ih0_hbm, keep_hbm),
+                                    (ih_buf, keep_buf),
+                                    in_sem, b0, tile_b, chunk)
+
+        def dma_out(slot, ci):
+            row = pl.ds(ci * chunk, chunk)
+            cols = pl.ds(b0, tile_b)
+            return [
+                pltpu.make_async_copy(
+                    pk_buf.at[slot], pk_hbm.at[row, cols],
+                    out_sem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    h0p_buf.at[slot], h0p_hbm.at[row, cols],
+                    out_sem.at[slot, 1],
+                ),
+                pltpu.make_async_copy(
+                    h1p_buf.at[slot], h1p_hbm.at[row, cols],
+                    out_sem.at[slot, 2],
+                ),
+                pltpu.make_async_copy(
+                    x1_buf.at[slot], x1_hbm.at[row, cols],
+                    out_sem.at[slot, 3],
+                ),
+            ]
+
+        for cpy in dma_in(0, 0):
+            cpy.start()
+
+        def chunk_body(ci, _):
+            slot = ci % 2
+
+            @pl.when(ci + 1 < num_chunks)
+            def _():
+                for cpy in dma_in((ci + 1) % 2, ci + 1):
+                    cpy.start()
+
+            for cpy in dma_in(slot, ci):
+                cpy.wait()
+
+            @pl.when(ci >= 2)
+            def _():
+                for cpy in dma_out(slot, ci - 2):
+                    cpy.wait()
+
+            def step(s, _):
+                t = ci * chunk + s
+                h0 = state_buf[0]
+                h1 = state_buf[1]
+                h0n, r0, z0, n0, hn0 = _gru_step(
+                    h0, ih_buf[slot, s], w_hh0, b_hh0, h_dim)
+                x1 = h0n * keep_buf[slot, s]
+                ih1 = jnp.dot(x1, w_ih1,
+                              preferred_element_type=jnp.float32) + b_ih1
+                h1n, r1, z1, n1, hn1 = _gru_step(h1, ih1, w_hh1, b_hh1,
+                                                 h_dim)
+                valid = t < t_len
+                # residuals as consumed: gate activations + PRE-step h
+                # (the legacy path's shift is free here); res_dtype=bf16
+                # halves every stream, compute/carries stay f32
+                for j, val in enumerate((r0, z0, n0, hn0,
+                                         r1, z1, n1, hn1)):
+                    pk_buf[slot, s, :, j * h_dim:(j + 1) * h_dim] = (
+                        val.astype(res_dtype))
+                h0p_buf[slot, s] = h0.astype(res_dtype)
+                h1p_buf[slot, s] = h1.astype(res_dtype)
+                x1_buf[slot, s] = x1.astype(res_dtype)
+                state_buf[0] = jnp.where(valid, h0n, h0)
+                state_buf[1] = jnp.where(valid, h1n, h1)
+                return 0
+
+            jax.lax.fori_loop(0, chunk, step, 0,
+                              unroll=chunk if full_unroll else 1)
+            for cpy in dma_out(slot, ci):
+                cpy.start()
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+        @pl.when(num_chunks >= 2)
+        def _():
+            for cpy in dma_out(num_chunks % 2, num_chunks - 2):
+                cpy.wait()
+
+        for cpy in dma_out((num_chunks - 1) % 2, num_chunks - 1):
+            cpy.wait()
+        fin_ref[0, pl.ds(b0, tile_b)] = state_buf[0]
+        fin_ref[1, pl.ds(b0, tile_b)] = state_buf[1]
+
+    pl.run_scoped(
+        body,
+        ih_buf=pltpu.VMEM((2, chunk, batch, g3), jnp.float32),
+        keep_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        pk_buf=pltpu.VMEM((2, chunk, batch, GRU_RES2_W * h_dim), res_dtype),
+        h0p_buf=pltpu.VMEM((2, chunk, batch, h_dim), res_dtype),
+        h1p_buf=pltpu.VMEM((2, chunk, batch, h_dim), res_dtype),
+        x1_buf=pltpu.VMEM((2, chunk, batch, h_dim), res_dtype),
+        in_sem=pltpu.SemaphoreType.DMA((2, 2)),
+        out_sem=pltpu.SemaphoreType.DMA((2, 4)),
+        state_buf=pltpu.VMEM((2, batch, h_dim), jnp.float32),
+    )
+
+
+def gru2_train_fwd_residuals(
+    x_tm: jnp.ndarray,     # (T, B, D) time-major input
+    keep_tm: jnp.ndarray,  # (T, B, H) inter-layer keep mask
+    layer0: Dict[str, jnp.ndarray],
+    layer1: Dict[str, jnp.ndarray],
+    chunk: int = None,
+    interpret: bool = False,
+    full_unroll: bool = None,
+    res_dtype=jnp.float32,
+):
+    """GRU forward with consumer-shaped residuals (zero post-processing).
+
+    Returns ``(packed, h0_prev, h1_prev, x1, keep_pad, finals, t_pad)``:
+    ``packed`` (t_pad, B, 8H) = [r0|z0|n0|hn0|r1|z1|n1|hn1] for the fused
+    reverse-chain kernel; ``h0_prev``/``h1_prev``/``x1`` (t_pad, B, H)
+    feed both the reverse chain (GRU cell backward reads h_prev, unlike
+    the LSTM's) and the hoisted weight-gradient contractions; ``finals``
+    (2, B, H) = [h0, h1] at the last valid step.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    chunk = FWD_CHUNK if chunk is None else chunk
+    full_unroll = FWD_TRAIN_UNROLL if full_unroll is None else full_unroll
+    t_len, batch, _ = x_tm.shape
+    h_dim = layer0["w_hh"].shape[0]
+
+    ih0 = (
+        x_tm.astype(jnp.float32) @ layer0["w_ih"].astype(jnp.float32)
+        + layer0["b_ih"].astype(jnp.float32)
+    )
+    # pad to a multiple of BOTH chunk lengths so the backward re-pads
+    # nothing
+    align = max(chunk, BWD2_CHUNK)
+    t_pad = ((t_len + align - 1) // align) * align
+    pad = t_pad - t_len
+    keep = keep_tm.astype(jnp.float32)
+    if pad:
+        ih0 = jnp.pad(ih0, ((0, pad), (0, 0), (0, 0)))
+        keep = jnp.pad(keep, ((0, pad), (0, 0), (0, 0)))
+
+    tile_b = _pick_tile_b(batch)
+    kernel = functools.partial(_gru2_fwd_res_kernel, t_len=t_len,
+                               chunk=chunk, tile_b=tile_b,
+                               full_unroll=full_unroll, res_dtype=res_dtype)
+    f32 = jnp.float32
+    packed, h0p, h1p, x1, finals = pl.pallas_call(
+        kernel,
+        grid=(batch // tile_b,),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, batch, GRU_RES2_W * h_dim),
+                                 res_dtype),
+            jax.ShapeDtypeStruct((t_pad, batch, h_dim), res_dtype),
+            jax.ShapeDtypeStruct((t_pad, batch, h_dim), res_dtype),
+            jax.ShapeDtypeStruct((t_pad, batch, h_dim), res_dtype),
+            jax.ShapeDtypeStruct((2, batch, h_dim), f32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        ih0,
+        keep,
+        layer0["w_hh"].astype(f32),
+        layer0["b_hh"].astype(f32).reshape(1, -1),
+        layer1["w_ih"].astype(f32),
+        layer1["b_ih"].astype(f32).reshape(1, -1),
+        layer1["w_hh"].astype(f32),
+        layer1["b_hh"].astype(f32).reshape(1, -1),
+    )
+    return packed, h0p, h1p, x1, keep, finals, t_pad
+
+
+def gru_res2_kernel_supported(batch: int, t_len: int, h_dim: int,
+                              chunk: int = None,
+                              allow_large: bool = False) -> bool:
+    """VMEM feasibility for the GRU residual-native fwd kernel."""
+    chunk = FWD_CHUNK if chunk is None else chunk
+    if batch > _AUTO_MAX_BATCH and not allow_large:
+        return False
+    tile = _pick_tile_b(batch)
+    if batch % tile != 0 or tile < 8:
+        return False
+    vmem = (
+        2 * chunk * tile * (4 * h_dim + (GRU_RES2_W + 3) * h_dim) * 4
+        + 4 * h_dim * 3 * h_dim * 4
+        + 2 * tile * h_dim * 4
+    )
+    return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and t_len >= 1
+
+
+def _gru2_bwd_res_kernel(
+    pk_hbm,     # (T_pad, B, 8H) ANY — packed [r0|z0|n0|hn0|r1|z1|n1|hn1]
+    h0p_hbm,    # (T_pad, B, H) ANY
+    h1p_hbm,    # (T_pad, B, H) ANY
+    keep_hbm,   # (T_pad, B, H) ANY
+    *maybe_dys_and_rest,
+    t_len: int,
+    chunk: int,
+    tile_b: int,
+    full_unroll: bool,
+    has_dys: bool,
+):
+    """GRU v2 fused reverse chain over the packed residual buffer.
+
+    Per step: two ``_gru_cell_bwd_k`` VPU blocks + THREE (B,3H)x(3H,H)
+    matmuls (dh1 carry, the inter-layer dx1 hop, dh0 carry).  Emits dih
+    per layer plus ONLY the dhn lane of dhh (its first 2H lanes equal
+    dih's), each as its own HBM stream so every weight-gradient
+    contraction reads a contiguous buffer.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if has_dys:
+        (dys_hbm, dhf_ref, w_hh1_t_ref, w_ih1_t_ref, w_hh0_t_ref,
+         dih0_hbm, dhn0_hbm, dih1_hbm, dhn1_hbm) = maybe_dys_and_rest
+    else:
+        (dhf_ref, w_hh1_t_ref, w_ih1_t_ref, w_hh0_t_ref,
+         dih0_hbm, dhn0_hbm, dih1_hbm, dhn1_hbm) = maybe_dys_and_rest
+        dys_hbm = None
+
+    batch = tile_b
+    h_dim = dhf_ref.shape[1]
+    g3 = 3 * h_dim
+    num_chunks = pk_hbm.shape[0] // chunk
+    b0 = pl.program_id(0) * tile_b
+
+    def body(pk_buf, h0p_buf, h1p_buf, keep_buf,
+             dih0_buf, dhn0_buf, dih1_buf, dhn1_buf,
+             in_sem, out_sem, state_buf, dys_buf=None):
+        # state_buf: (2, tile_b, H) = dh1_carry, dh0_carry
+        state_buf[0] = dhf_ref[pl.ds(b0, tile_b)]
+        state_buf[1] = jnp.zeros((batch, h_dim), jnp.float32)
+        w_hh1_t = w_hh1_t_ref[:]
+        w_ih1_t = w_ih1_t_ref[:]
+        w_hh0_t = w_hh0_t_ref[:]
+
+        srcs = [pk_hbm, h0p_hbm, h1p_hbm, keep_hbm]
+        bufs = [pk_buf, h0p_buf, h1p_buf, keep_buf]
+        if has_dys:
+            srcs.append(dys_hbm)
+            bufs.append(dys_buf)
+        dma_in = _chunked_in_copies(srcs, bufs, in_sem, b0, tile_b, chunk)
+
+        def dma_out(slot, ci):
+            row = pl.ds(ci * chunk, chunk)
+            cols = pl.ds(b0, tile_b)
+            return [
+                pltpu.make_async_copy(buf.at[slot], hbm.at[row, cols],
+                                      out_sem.at[slot, i])
+                for i, (buf, hbm) in enumerate((
+                    (dih0_buf, dih0_hbm), (dhn0_buf, dhn0_hbm),
+                    (dih1_buf, dih1_hbm), (dhn1_buf, dhn1_hbm),
+                ))
+            ]
+
+        def step(slot, s, t):
+            f32 = jnp.float32
+            pk = pk_buf[slot, s]
+            r1 = pk[:, 4 * h_dim:5 * h_dim].astype(f32)
+            z1 = pk[:, 5 * h_dim:6 * h_dim].astype(f32)
+            n1 = pk[:, 6 * h_dim:7 * h_dim].astype(f32)
+            hn1 = pk[:, 7 * h_dim:8 * h_dim].astype(f32)
+            h1p = h1p_buf[slot, s].astype(f32)
+            dh1_t = state_buf[0]
+            if dys_buf is not None:
+                dh1_t = dh1_t + dys_buf[slot, s]
+            dih1, dhh1, dh1_dir = _gru_cell_bwd_k(dh1_t, h1p, r1, z1,
+                                                  n1, hn1)
+            dh1_prev = dh1_dir + jnp.dot(
+                dhh1, w_hh1_t, preferred_element_type=jnp.float32
+            )
+            dx1 = jnp.dot(
+                dih1, w_ih1_t, preferred_element_type=jnp.float32
+            )
+            r0 = pk[:, 0 * h_dim:1 * h_dim].astype(f32)
+            z0 = pk[:, 1 * h_dim:2 * h_dim].astype(f32)
+            n0 = pk[:, 2 * h_dim:3 * h_dim].astype(f32)
+            hn0 = pk[:, 3 * h_dim:4 * h_dim].astype(f32)
+            h0p = h0p_buf[slot, s].astype(f32)
+            dh0_t = state_buf[1] + dx1 * keep_buf[slot, s]
+            dih0, dhh0, dh0_dir = _gru_cell_bwd_k(dh0_t, h0p, r0, z0,
+                                                  n0, hn0)
+            dh0_prev = dh0_dir + jnp.dot(
+                dhh0, w_hh0_t, preferred_element_type=jnp.float32
+            )
+            valid = t < t_len
+            dih0_buf[slot, s] = jnp.where(valid, dih0,
+                                          0.0).astype(dih0_buf.dtype)
+            dhn0_buf[slot, s] = jnp.where(
+                valid, dhh0[:, 2 * h_dim:g3], 0.0).astype(dhn0_buf.dtype)
+            dih1_buf[slot, s] = jnp.where(valid, dih1,
+                                          0.0).astype(dih1_buf.dtype)
+            dhn1_buf[slot, s] = jnp.where(
+                valid, dhh1[:, 2 * h_dim:g3], 0.0).astype(dhn1_buf.dtype)
+            state_buf[0] = jnp.where(valid, dh1_prev, state_buf[0])
+            state_buf[1] = jnp.where(valid, dh0_prev, state_buf[1])
+
+        _reverse_chunk_walk(num_chunks, chunk, dma_in, dma_out, step,
+                            unroll=chunk if full_unroll else 1)
+
+    dg_dtype = pk_hbm.dtype
+    scratch = dict(
+        pk_buf=pltpu.VMEM((2, chunk, batch, GRU_RES2_W * h_dim), dg_dtype),
+        h0p_buf=pltpu.VMEM((2, chunk, batch, h_dim), dg_dtype),
+        h1p_buf=pltpu.VMEM((2, chunk, batch, h_dim), dg_dtype),
+        keep_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        dih0_buf=pltpu.VMEM((2, chunk, batch, g3), dg_dtype),
+        dhn0_buf=pltpu.VMEM((2, chunk, batch, h_dim), dg_dtype),
+        dih1_buf=pltpu.VMEM((2, chunk, batch, g3), dg_dtype),
+        dhn1_buf=pltpu.VMEM((2, chunk, batch, h_dim), dg_dtype),
+        in_sem=pltpu.SemaphoreType.DMA((2, 5 if has_dys else 4)),
+        out_sem=pltpu.SemaphoreType.DMA((2, 4)),
+        state_buf=pltpu.VMEM((2, batch, h_dim), jnp.float32),
+    )
+    if has_dys:
+        scratch["dys_buf"] = pltpu.VMEM((2, chunk, batch, h_dim),
+                                        jnp.float32)
+    pl.run_scoped(body, **scratch)
+
+
+def gru2_bwd_chain_res_padded(
+    packed: jnp.ndarray,    # (T_pad, B, 8H) from gru2_train_fwd_residuals
+    h0p: jnp.ndarray,       # (T_pad, B, H)
+    h1p: jnp.ndarray,       # (T_pad, B, H)
+    keep_pad: jnp.ndarray,  # (T_pad, B, H)
+    dys,                    # (T_pad, B, H) or None
+    dh_final: jnp.ndarray,  # (B, H)
+    w_hh0: jnp.ndarray,
+    w_hh1: jnp.ndarray,
+    w_ih1: jnp.ndarray,
+    t_len: int,
+    chunk: int = None,
+    interpret: bool = False,
+    full_unroll: bool = None,
+):
+    """GRU v2 fused reverse chain over pre-padded residuals.
+
+    Returns ``(dih0, dhn0, dih1, dhn1)`` — (T_pad, B, 3H/H) with pad rows
+    ZERO, so the hoisted weight-gradient contractions run over T_pad
+    unsliced.  ``dhh_l = [dih_l[:, :2H] | dhn_l]`` (the shared-lane trick
+    — only the dhn third differs between dih and dhh).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    chunk = BWD2_CHUNK if chunk is None else chunk
+    full_unroll = BWD2_UNROLL if full_unroll is None else full_unroll
+    t_pad, batch, w8 = packed.shape
+    h_dim = w8 // GRU_RES2_W
+    g3 = 3 * h_dim
+    assert t_pad % chunk == 0
+
+    f32 = jnp.float32
+    tile_b = _pick_tile_b(batch)
+    has_dys = dys is not None
+    kernel = functools.partial(_gru2_bwd_res_kernel, t_len=t_len,
+                               chunk=chunk, tile_b=tile_b,
+                               full_unroll=full_unroll, has_dys=has_dys)
+    operands = [packed, h0p, h1p, keep_pad]
+    if has_dys:
+        operands.append(dys.astype(f32))
+    operands += [
+        dh_final.astype(f32),
+        w_hh1.astype(f32).T,
+        w_ih1.astype(f32).T,
+        w_hh0.astype(f32).T,
+    ]
+    dg_dtype = packed.dtype
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch // tile_b,),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, batch, g3), dg_dtype),
+            jax.ShapeDtypeStruct((t_pad, batch, h_dim), dg_dtype),
+            jax.ShapeDtypeStruct((t_pad, batch, g3), dg_dtype),
+            jax.ShapeDtypeStruct((t_pad, batch, h_dim), dg_dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (5 if has_dys else 4)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY)
+                        for _ in range(4)),
+        interpret=interpret,
+    )(*operands)
+    return out
+
+
+def gru_bwd2_res_kernel_supported(batch: int, t_len: int, h_dim: int,
+                                  chunk: int = None,
+                                  allow_large: bool = False) -> bool:
+    """VMEM feasibility for the GRU v2 fused reverse-chain kernel."""
+    chunk = BWD2_CHUNK if chunk is None else chunk
+    if batch > _AUTO_MAX_BATCH and not allow_large:
+        return False
+    tile = _pick_tile_b(batch)
+    if batch % tile != 0 or tile < 8:
+        return False
+    vmem = (
+        2 * chunk * tile * ((GRU_RES2_W + 4) * h_dim + 8 * h_dim) * 4
+        + 3 * 3 * h_dim * h_dim * 4
+        + 2 * tile * h_dim * 4
+    )
+    return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and t_len >= 1

@@ -670,12 +670,137 @@ def _gru_fwd_pallas(x_tm, keep_tm, params, interpret):
     return carry, ys, res
 
 
-def _gru_vjp_fwd(x, keep, params):
+def _gru_res2_ok(x_tm, params, interpret):
+    """Use the GRU residual-native (v2) kernel pair when both ends
+    qualify — same selection rule as the LSTM's ``_res2_ok``.  Removes
+    the legacy path's h_prev shift-copies, the external x1 rebuild, the
+    pre-kernel 5H re-packing the fused backward paid (r2p's loss), and
+    every [:t_len] slice."""
+    if _BWD_KERNEL_MODE == "off" or _RES2_MODE == "off":
+        return False
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        gru_bwd2_res_kernel_supported,
+        gru_res2_kernel_supported,
+    )
+
+    t_len, batch = x_tm.shape[0], x_tm.shape[1]
+    h_dim = params[0]["w_hh"].shape[0]
+    return gru_res2_kernel_supported(
+        batch, t_len, h_dim, allow_large=interpret
+    ) and gru_bwd2_res_kernel_supported(
+        batch, t_len, h_dim, allow_large=interpret
+    )
+
+
+def _gru_fwd_pallas_res2(x_tm, keep_tm, params, interpret,
+                         final_only=False):
+    """GRU v2 kernel forward: residuals come out exactly as consumed."""
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        gru2_train_fwd_residuals,
+    )
+
+    res_dtype = (
+        jnp.bfloat16
+        if (final_only and _RES2_DTYPE == "bfloat16")
+        else jnp.float32
+    )
+    packed, h0p, h1p, x1, keep_pad, finals, t_pad = (
+        gru2_train_fwd_residuals(
+            x_tm, keep_tm[:, 0], params[0], params[1], interpret=interpret,
+            res_dtype=res_dtype,
+        )
+    )
+    t_len = x_tm.shape[0]
+    # ys(t) = h1_prev(t+1) for t < T-1, ys(T-1) = h1_final — a view of
+    # the residuals, only built when the sequence output is consumed
+    # (DCE'd on the final-hidden path, where bf16 residuals may engage)
+    ys = jnp.concatenate(
+        [h1p[1:t_len].astype(finals.dtype), finals[1][None]], axis=0)
+    carry = (finals[0], finals[1])
+    res = {"gru_res2": (packed, h0p, h1p, x1, keep_pad, finals)}
+    return carry, ys, res
+
+
+def _gru_bwd_impl_res2(saved, dys, dh_final):
+    """Backward for the GRU residual-native path: fused reverse-chain
+    kernel over consumer-shaped buffers, then unsliced contractions over
+    t_pad (padded dih/dhn rows are zero).  ``dhh`` shares its first 2H
+    lanes with ``dih`` (dr_pre, dz_pre), so the kernel emits only the dhn
+    third extra and dW_hh/b_hh are assembled from weight-sized pieces."""
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        gru2_bwd_chain_res_padded,
+    )
+
+    x_tm, keep_tm, params, res, carry = saved
+    packed, h0p, h1p, x1, keep_pad, finals = res["gru_res2"]
+    t_len, batch = x_tm.shape[0], x_tm.shape[1]
+    t_pad = packed.shape[0]
+    h_dim = params[0]["w_hh"].shape[0]
+    interpret = _FWD_KERNEL_MODE == "interpret" or (
+        _BWD_KERNEL_MODE == "interpret"
+    )
+
+    if dys is not None and t_pad != t_len:
+        dys = jnp.pad(dys, ((0, t_pad - t_len), (0, 0), (0, 0)))
+    dih0, dhn0, dih1, dhn1 = gru2_bwd_chain_res_padded(
+        packed, h0p, h1p, keep_pad, dys, dh_final,
+        params[0]["w_hh"], params[1]["w_hh"], params[1]["w_ih"],
+        t_len, interpret=interpret,
+    )
+
+    x_pad = x_tm
+    if t_pad != t_len:
+        x_pad = jnp.pad(x_tm, ((0, t_pad - t_len), (0, 0), (0, 0)))
+    x_pad = x_pad.astype(packed.dtype)
+
+    def flat(a):
+        return a.reshape(t_pad * batch, -1)
+
+    def contract(a, b):
+        return jnp.matmul(flat(a).T, flat(b),
+                          preferred_element_type=jnp.float32)
+
+    def layer_grads(x_series, hp, dih, dhn):
+        # dW_hh = hp^T @ [dr|dz|dhn]: the first 2H columns come from the
+        # dih contraction (shared lanes), the dhn third from its own —
+        # both weight-sized, so the concat is trivial
+        c_rz = contract(hp, dih)[:, :2 * h_dim]
+        c_n = contract(hp, dhn)
+        b_ih = dih.astype(jnp.float32).sum(axis=(0, 1))
+        b_hh = jnp.concatenate(
+            [b_ih[:2 * h_dim], dhn.astype(jnp.float32).sum(axis=(0, 1))])
+        return {
+            "w_ih": contract(x_series, dih),
+            "w_hh": jnp.concatenate([c_rz, c_n], axis=1),
+            "b_ih": b_ih,
+            "b_hh": b_hh,
+        }
+
+    dparams = (
+        layer_grads(x_pad, h0p, dih0, dhn0),
+        layer_grads(x1, h1p, dih1, dhn1),
+    )
+    # d(keep) = d(x1) * h0_new; h0_new(t) = h0_prev(t+1), final from the
+    # finals buffer.  keep is a dropout mask (no grad path) — XLA DCEs it.
+    dx_l = (dih1 @ params[1]["w_ih"].T)[:t_len]
+    h0_new = jnp.concatenate(
+        [h0p[1:t_len].astype(finals.dtype), finals[0][None]], axis=0)
+    dkeep = jnp.transpose((dx_l * h0_new)[:, None], (2, 0, 1, 3))
+    dx = jnp.swapaxes((dih0 @ params[0]["w_ih"].T)[:t_len], 0, 1)
+    return dx, dkeep, dparams
+
+
+def _gru_vjp_fwd(x, keep, params, final_only=False):
     x_tm = jnp.swapaxes(x, 0, 1)
     keep_tm = _keep_tm(keep)
     use_kernel, interpret = _gru_fwd_kernel_ok(x_tm, params)
     if use_kernel:
-        carry, ys, res = _gru_fwd_pallas(x_tm, keep_tm, params, interpret)
+        if _gru_res2_ok(x_tm, params, interpret):
+            carry, ys, res = _gru_fwd_pallas_res2(
+                x_tm, keep_tm, params, interpret, final_only=final_only)
+        else:
+            carry, ys, res = _gru_fwd_pallas(x_tm, keep_tm, params,
+                                             interpret)
         dtype = x.dtype
         out = (jnp.swapaxes(ys, 0, 1).astype(dtype),
                carry[-1].astype(dtype))
@@ -758,9 +883,18 @@ def _gru_bwd_kernel_ok(dys, params):
 
 
 def _gru_vjp_bwd(saved, grads):
-    x_tm, keep_tm, params, res, carry = saved
     dys_bt, dh_final = grads
-    dys = jnp.swapaxes(dys_bt, 0, 1)
+    return _gru_bwd_impl(saved, jnp.swapaxes(dys_bt, 0, 1), dh_final)
+
+
+def _gru_bwd_impl(saved, dys, dh_final):
+    """Shared backward; ``dys`` is time-major (T, B, H) or None (zero)."""
+    x_tm, keep_tm, params, res, carry = saved
+    if isinstance(res, dict):  # residual-native (v2) kernel path
+        return _gru_bwd_impl_res2(saved, dys, dh_final)
+    if dys is None:
+        dys = jnp.zeros((x_tm.shape[0], x_tm.shape[1],
+                         params[0]["w_hh"].shape[0]), dh_final.dtype)
     n_layers = len(params)
     w_ih_t = [p["w_ih"].T for p in params]
     w_hh_t = [p["w_hh"].T for p in params]
@@ -841,3 +975,31 @@ def _gru_vjp_bwd(saved, grads):
 
 
 fused_gru.defvjp(_gru_vjp_fwd, _gru_vjp_bwd)
+
+
+@jax.custom_vjp
+def fused_gru_final(x, keep, params: Tuple[dict, ...]):
+    """Like fused_gru but returns ONLY h_final (B, H).
+
+    The final-hidden-only encoder path: the sequence output's cotangent
+    is structurally zero, so the backward omits the (T, B, H)
+    dh-contribution stream entirely (the GRU twin of
+    ``fused_lstm_final``); bf16 residual streams
+    (``runtime.lstm_residual_dtype``) may engage here — ys is never
+    built from rounded h1_prev on this path.
+    """
+    x_tm = jnp.swapaxes(x, 0, 1)
+    carry, _, _ = _gru_fwd_scan(x_tm, _keep_tm(keep), params)
+    return carry[-1]
+
+
+def _gru_final_fwd(x, keep, params):
+    (ys, h_final), saved = _gru_vjp_fwd(x, keep, params, final_only=True)
+    return h_final, saved
+
+
+def _gru_final_bwd(saved, dh_final):
+    return _gru_bwd_impl(saved, None, dh_final)
+
+
+fused_gru_final.defvjp(_gru_final_fwd, _gru_final_bwd)

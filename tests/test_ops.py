@@ -993,3 +993,125 @@ def test_lstm_residual_bf16_streams_gradient_envelope():
     for a, b_ in zip(jax.tree_util.tree_leaves(gs32),
                      jax.tree_util.tree_leaves(gs16)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def _gru_test_params(ks, d, h):
+    return tuple(
+        {
+            "w_ih": 0.3 * jax.random.normal(
+                ks[2 + 4 * l], (d if l == 0 else h, 3 * h)),
+            "w_hh": 0.3 * jax.random.normal(ks[3 + 4 * l], (h, 3 * h)),
+            "b_ih": 0.1 * jax.random.normal(ks[4 + 4 * l], (3 * h,)),
+            "b_hh": 0.1 * jax.random.normal(ks[5 + 4 * l], (3 * h,)),
+        }
+        for l in range(2)
+    )
+
+
+def test_gru_residual_native_v2_path_matches_scan():
+    """GRU residual-native kernel pair (fwd emits pre-step h series +
+    packed gate activations, fused reverse chain over the packed buffer,
+    unsliced t_pad contractions with the shared-lane dhh trick) == the
+    XLA-scan custom backward, for BOTH fused_gru (sequence cotangent,
+    pad-exercising T) and fused_gru_final (dys-free path)."""
+    import multimodal_emotion_detection_tpu.ops.lstm_vjp as lv
+
+    b, t, d, h = 8, 21, 12, 128  # t_pad = 24: pad rows exercised
+    ks = jax.random.split(jax.random.PRNGKey(3), 10)
+    x = jax.random.normal(ks[0], (b, t, d))
+    keep = (jax.random.uniform(ks[1], (b, t, 1, h)) > 0.3).astype(jnp.float32)
+    params = _gru_test_params(ks, d, h)
+    # the v2 gate must actually engage at this geometry
+    assert lv._gru_res2_ok(jnp.swapaxes(x, 0, 1), params, interpret=True)
+
+    def loss_seq(x, keep, params):
+        ys, h_final = lv.fused_gru(x, keep, params)
+        return jnp.sum(ys * jnp.cos(ys)) + 2.0 * jnp.sum(h_final**2)
+
+    def loss_final(x, keep, params):
+        hf = lv.fused_gru_final(x, keep, params)
+        return jnp.sum(hf * jnp.sin(hf))
+
+    for loss in (loss_seq, loss_final):
+        val_and_grad = jax.value_and_grad(loss, argnums=(0, 2))
+
+        prev_f = lv.set_fwd_kernel_mode("off")
+        prev_b = lv.set_bwd_kernel_mode("off")
+        try:
+            v_scan, g_scan = jax.jit(val_and_grad)(x, keep, params)
+        finally:
+            lv.set_fwd_kernel_mode(prev_f)
+            lv.set_bwd_kernel_mode(prev_b)
+
+        prev_f = lv.set_fwd_kernel_mode("interpret")
+        prev_b = lv.set_bwd_kernel_mode("interpret")
+        try:
+            v_k, g_k = jax.jit(val_and_grad)(x, keep, params)
+        finally:
+            lv.set_fwd_kernel_mode(prev_f)
+            lv.set_bwd_kernel_mode(prev_b)
+
+        np.testing.assert_allclose(float(v_k), float(v_scan),
+                                   rtol=2e-5, atol=2e-5)
+        for a, b_ in zip(jax.tree_util.tree_leaves(g_scan),
+                         jax.tree_util.tree_leaves(g_k)):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       rtol=3e-5, atol=3e-5)
+
+
+def test_gru_residual_bf16_streams_gradient_envelope():
+    """lstm_residual_dtype=bfloat16 applies to the GRU v2 pair too:
+    forward value EXACT (finals stay f32; engages only on the
+    final-hidden path), gradients within a bf16 envelope, and the
+    seq-output path (fused_gru) bitwise-untouched."""
+    import multimodal_emotion_detection_tpu.ops.lstm_vjp as lv
+
+    b, t, d, h = 8, 21, 12, 128
+    ks = jax.random.split(jax.random.PRNGKey(7), 10)
+    x = jax.random.normal(ks[0], (b, t, d))
+    keep = (jax.random.uniform(ks[1], (b, t, 1, h)) > 0.3).astype(jnp.float32)
+    params = _gru_test_params(ks, d, h)
+
+    def run(dtype, seq):
+        # fresh function objects per leg (jit trace-cache gotcha)
+        def loss_final(x, keep, params):
+            hf = lv.fused_gru_final(x, keep, params)
+            return jnp.sum(hf * jnp.sin(hf))
+
+        def loss_seq(x, keep, params):
+            ys, h_final = lv.fused_gru(x, keep, params)
+            return jnp.sum(ys * jnp.cos(ys)) + 2.0 * jnp.sum(h_final**2)
+
+        prev_d = lv.set_res2_dtype(dtype)
+        try:
+            return jax.jit(jax.value_and_grad(
+                loss_seq if seq else loss_final, argnums=(0, 2)
+            ))(x, keep, params)
+        finally:
+            lv.set_res2_dtype(prev_d)
+
+    prev_f = lv.set_fwd_kernel_mode("interpret")
+    prev_b = lv.set_bwd_kernel_mode("interpret")
+    try:
+        v32, g32 = run("float32", seq=False)
+        vs32, gs32 = run("float32", seq=True)
+        v16, g16 = run("bfloat16", seq=False)
+        vs16, gs16 = run("bfloat16", seq=True)
+    finally:
+        lv.set_fwd_kernel_mode(prev_f)
+        lv.set_bwd_kernel_mode(prev_b)
+
+    np.testing.assert_array_equal(float(v16), float(v32))
+    rels = []
+    for a, b_ in zip(jax.tree_util.tree_leaves(g32),
+                     jax.tree_util.tree_leaves(g16)):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        denom = max(1e-6, float(np.max(np.abs(a))))
+        rel = float(np.max(np.abs(a - b_))) / denom
+        assert rel < 2e-2, f"bf16 GRU residual grad envelope exceeded: {rel}"
+        rels.append(rel)
+    assert max(rels) > 0.0, "bf16 GRU residual path did not engage (vacuous)"
+    np.testing.assert_array_equal(float(vs16), float(vs32))
+    for a, b_ in zip(jax.tree_util.tree_leaves(gs32),
+                     jax.tree_util.tree_leaves(gs16)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
