@@ -118,10 +118,10 @@ def _attn_dropout_mask(seed_ref, rate: float, shape, b, h, iq, ik):
     makes the mask reproducible across the forward and both backward
     passes (which visit blocks in different grid orders).
 
-    Packed mode (default): ONE 32-bit word yields FOUR 8-bit masks,
-    stacked along sublanes (the lane dim stays full width, so the PRNG
-    materializes ~4x fewer vregs — its per-vreg stepping is the dominant
-    cost of in-kernel dropout at short T)."""
+    Packed mode (OFF by default — measured no-win, r3k): ONE 32-bit word
+    yields FOUR 8-bit masks, stacked along sublanes (the lane dim stays
+    full width, so the PRNG materializes ~4x fewer vregs); production
+    uses the legacy full-word mask below."""
     from jax.experimental.pallas import tpu as pltpu
 
     # Mosaic's prng_set_seed_32 takes at most TWO i32 seeds: fold the

@@ -330,6 +330,9 @@ class Trainer:
                         ),
                         has_batch_stats=has_bn,
                         donate=cfg.runtime.donate_state,
+                        pregather=getattr(
+                            cfg.runtime, "epoch_pregather", False
+                        ),
                     )
         # eval jit follows the input shardings automatically (GSPMD)
         self._eval_step = make_eval_step(
@@ -463,6 +466,17 @@ class Trainer:
         block_capable = (
             device_resident and self._multi_epoch_step is not None
         )
+
+        def is_val_e(e):
+            # validation cadence (Lightning's check_val_every_n_epoch,
+            # anchored at start_epoch; the final epoch always validates
+            # so a best checkpoint exists).  This rule — NOT block-driver
+            # availability — decides the cadence: with epoch_scan off or
+            # a host-streaming loader the trainer falls back to blk=1
+            # dispatches but still validates/checkpoints/counts patience
+            # on the same epochs.
+            return ((e - start_epoch + 1) % val_every == 0
+                    or e == cfg.training.max_epochs - 1)
 
         def epoch_indices(e):
             if self._row_sharded:
@@ -605,8 +619,9 @@ class Trainer:
                     "train/confidence_mean": wmean("confidence_mean"),
                 }
 
-                is_val_epoch = j == blk - 1
-                # ---- validate (block boundary; every epoch when blk=1 —
+                is_val_epoch = is_val_e(e)
+                # ---- validate (block boundaries == the is_val_e cadence;
+                # with the blk=1 fallback the cadence is identical —
                 # Lightning's check_val_every_n_epoch semantics) ----
                 val_row = (
                     self.validate(val_loader, prefix="val")

@@ -259,6 +259,7 @@ def make_multi_epoch_train_step(
     modality_dropout: float = 0.0,
     has_batch_stats: bool = False,
     donate: bool = True,
+    pregather: bool = False,
 ) -> Callable:
     """Scan a BLOCK of epochs in ONE dispatch (scan of epoch scans).
 
@@ -276,21 +277,24 @@ def make_multi_epoch_train_step(
     step_fn = _make_train_step_body(
         model, tx, num_modalities, modality_dropout, has_batch_stats
     )
-    return jax.jit(scan_over_epoch_block(step_fn),
+    return jax.jit(scan_over_epoch_block(step_fn, pregather=pregather),
                    donate_argnums=(0,) if donate else ())
 
 
-def scan_over_epoch_block(step_fn: Callable) -> Callable:
+def scan_over_epoch_block(step_fn: Callable,
+                          pregather: bool = False) -> Callable:
     """Lift a per-batch step into the BLOCK driver: scan of epoch scans.
 
     ``step_fn(state, features, labels, idx, valid, key)`` becomes
     ``block_fn(state, features, labels, idx_mats (E,S,B),
     valid_mats (E,S,B), key) -> (state, metrics stacked (E,S))``.
     Shared by the plain, GSPMD and shard_map drivers (same reuse shape
-    as ``scan_over_epoch``); the per-epoch ``key`` is identical because
-    PRNG streams are keyed by the ``state.step`` fold-in.
+    as ``scan_over_epoch``, including the opt-in ``pregather`` gather
+    hoist — per EPOCH, not per block, so the extra HBM copy stays
+    epoch-sized); the per-epoch ``key`` is identical because PRNG
+    streams are keyed by the ``state.step`` fold-in.
     """
-    epoch_fn = scan_over_epoch(step_fn)
+    epoch_fn = scan_over_epoch(step_fn, pregather=pregather)
 
     def block_fn(state, features, labels, idx_mats, valid_mats, key):
         def body(st, xs):

@@ -854,6 +854,28 @@ def test_val_every_n_epochs_ragged_final_block(tmp_path):
     assert t.checkpoints.best_model_path is not None
 
 
+def test_val_every_n_epochs_cadence_without_block_driver(tmp_path):
+    """With runtime.epoch_scan='off' the block driver cannot build, but
+    the validation CADENCE must hold: val/checkpoint/patience on the
+    same epochs as the block driver would produce, via blk=1 dispatches
+    (a perf-driver availability condition must not change training
+    behavior)."""
+    cfg = tiny_config()
+    cfg.training.max_epochs = 6
+    cfg.training.val_every_n_epochs = 3
+    cfg.runtime.epoch_scan = "off"
+    train_loader, val_loader, _ = make_loaders(cfg)
+    t = Trainer(cfg, save_dir=tmp_path)
+    t.fit(train_loader, val_loader)
+    assert t._multi_epoch_step is None  # fallback actually exercised
+    assert len(t.history) == 6
+    for e, row in enumerate(t.history):
+        if e in (2, 5):
+            assert "val/loss" in row
+        else:
+            assert "val/loss" not in row
+
+
 def test_val_every_n_epochs_early_stop_counts_val_checks(tmp_path):
     """Early-stopping patience counts VALIDATION checks (Lightning
     semantics), so with val_every_n_epochs=2 and patience=2 the run can
