@@ -37,7 +37,7 @@ import numpy as np
 
 
 def _bench_config(frontend: str, batch: int, compute_dtype: str = "float32",
-                  big: bool = False):
+                  big: bool = False, encoder: str = "lstm"):
     """The benchmark Config for a given frontend/geometry (also feeds the
     analytic FLOPs model, so keep it the single source of truth)."""
     from multimodal_emotion_detection_tpu.config import Config, apply_overrides
@@ -48,6 +48,8 @@ def _bench_config(frontend: str, batch: int, compute_dtype: str = "float32",
         "model.encoders.video.input_dim=4096",
         f"runtime.compute_dtype={compute_dtype}",
     ]
+    if encoder != "lstm":
+        overrides.append(f"model.encoders.audio.encoder_type={encoder}")
     if big:
         # the reference's big sweep config (run.slurm/sweep.sh geometry:
         # out 256 / hidden 512 / LSTM x3 — the model behind every
@@ -82,7 +84,8 @@ def _train_flops_per_clip(frontend: str, batch: int,
 
 def _build(frontend: str, batch: int, n_rows: int, seed: int = 0,
            compute_dtype: str = "float32", scan: bool = False,
-           big: bool = False, pregather: bool = False):
+           big: bool = False, pregather: bool = False,
+           encoder: str = "lstm"):
     """frontend: 'raw' | 'logmel_xla' | 'logmel_pallas'.
 
     With ``scan`` the returned step is the epoch-scan driver
@@ -100,7 +103,7 @@ def _build(frontend: str, batch: int, n_rows: int, seed: int = 0,
         make_train_step,
     )
 
-    cfg = _bench_config(frontend, batch, compute_dtype, big)
+    cfg = _bench_config(frontend, batch, compute_dtype, big, encoder)
     model = classifier_from_config(cfg)
 
     rng = np.random.RandomState(seed)
@@ -253,10 +256,12 @@ def _time_epoch_block(state, block_step, features, labels, batch, n_rows,
 
 def run_one(frontend: str, batch: int, n_rows: int, warmup: int, iters: int,
             compute_dtype: str = "float32", epoch_scan: bool = False,
-            big: bool = False, block_epochs: int = 0):
+            big: bool = False, block_epochs: int = 0,
+            encoder: str = "lstm"):
     state, step, features, labels = _build(
         frontend, batch, n_rows, compute_dtype=compute_dtype,
         scan="block" if block_epochs else epoch_scan, big=big,
+        encoder=encoder,
     )
     if block_epochs:
         cps, _ = _time_epoch_block(
@@ -374,6 +379,21 @@ def main():
             jax.config.update("jax_default_prng_impl", "threefry2x32")
     except Exception:
         fast_block_cps = None
+    # GRU family point with the residual-native v2 pair + fast knobs
+    # (r3l_tpu.json: legacy ~15.9k -> 28.2-29.6k with bf16 residuals)
+    try:
+        import multimodal_emotion_detection_tpu.ops.lstm_vjp as _lv
+
+        jax.config.update("jax_default_prng_impl", "rbg")
+        _lv.set_res2_dtype("bfloat16")
+        try:
+            gru_cps = run_one("logmel_cached", batch, n_rows, warmup=3,
+                              iters=30, epoch_scan=True, encoder="gru")
+        finally:
+            _lv.set_res2_dtype("float32")
+            jax.config.update("jax_default_prng_impl", "threefry2x32")
+    except Exception:
+        gru_cps = None
     # large-batch bf16 point (the round-2 peak regime; the b32 fast path
     # overtook it in round 3 — kept for the regime comparison)
     try:
@@ -481,6 +501,11 @@ def main():
         "flagship_fast_vblock_clips_per_sec": (
             # + training.val_every_n_epochs=10 block driver (r3j_tpu.json)
             round(fast_block_cps, 2) if fast_block_cps is not None else None
+        ),
+        "gru_fast_clips_per_sec": (
+            # GRU family, residual-native v2 pair + rbg + bf16 residuals
+            # (r3l_tpu.json)
+            round(gru_cps, 2) if gru_cps is not None else None
         ),
         "peak_clips_per_sec_b256_bf16": (
             round(peak_cps, 2) if peak_cps is not None else None
