@@ -51,6 +51,17 @@ LSTM2_LAYER0_BITWISE = 0.0
 GRAD_DIRECTIONAL_REL = 0.08
 GRAD_DIRECTIONAL_EPS = 3e-3
 
+# scan-reference gradient check: jax.grad through the kernel path vs
+# jax.grad through the pure-XLA scan (no custom_vjp), same loss, short T
+# where tiling chaos hasn't amplified.  Unlike the FD check this needs no
+# well-conditioned direction — the GRU's gradient at 1/sqrt(h) scale is
+# tiny (|g.v| ~1e-3) and the FD quotient at eps=3e-3 is noise-dominated
+# at ANY T for that loss, while this direct comparison measured rel
+# 1.2e-3 @ T=50 / 2.1e-3 @ T=100 with cosine 1.000000 on chip
+# (2026-08-18).  Bound carries ~5x headroom; a wrong backward kernel
+# fails at O(1).
+SCAN_GRAD_REL = {50: 0.01, 100: 0.015}
+
 # the residual-native (v2) and legacy kernel backward paths must produce
 # BITWISE-equal gradients on chip (same gate math, same MXU tilings —
 # measured max rel 0.0 for dx and every weight matrix, r3c_tpu.json)

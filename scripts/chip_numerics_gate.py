@@ -154,6 +154,61 @@ def main() -> int:
         hf = lv.fused_lstm_final(x, keep_bm, params)
         return jnp.sum(hf * jnp.sin(hf)) / (b * h)
 
+    # scan-reference gradient check (FATAL): jax.grad through the kernel
+    # path vs jax.grad through the pure-XLA scan (no custom_vjp), short T
+    # where tiling chaos hasn't amplified.  Needs no well-conditioned FD
+    # direction, so it also covers maps whose gradient is tiny (the GRU
+    # below).  Banked on chip 2026-08-18: LSTM rel ~1e-3-class, GRU
+    # 1.2e-3 @ T=50 / 2.1e-3 @ T=100, cosine 1.000000 in all four legs.
+    from multimodal_emotion_detection_tpu.ops.envelope import SCAN_GRAD_REL
+
+    def _scan_grad_leg(name, kernel_loss_of, scan_loss_of):
+        for t_s, bound in sorted(SCAN_GRAD_REL.items()):
+            x_s = jax.random.normal(ks[0], (b, t_s, d))
+            keep_s = (jax.random.uniform(ks[1], (b, t_s, 1, h)) > 0.2
+                      ).astype(jnp.float32)
+            gk = np.asarray(jax.jit(jax.grad(kernel_loss_of(keep_s)))(x_s))
+            gs = np.asarray(jax.jit(jax.grad(scan_loss_of(keep_s)))(x_s))
+            rel = float(np.abs(gk - gs).max() / max(np.abs(gs).max(), 1e-9))
+            report[f"{name}_scan_grad_T{t_s}"] = {"rel": rel, "bound": bound}
+            if rel > bound:
+                failures.append(
+                    f"{name} kernel grad diverges from scan grad at "
+                    f"T={t_s}: rel {rel:.3e} > {bound}")
+
+    # dedicated 1/sqrt(h) (torch-default-scale) params for the scan-grad
+    # legs: the envelope legs above deliberately use 0.2-scale params to
+    # sit in the chaos regime, but gradients AMPLIFY that chaos (measured
+    # rel 5.7e-2 at T=100 with 0.2-scale vs 1.2e-3 at 1/sqrt(h)) — the
+    # scan-grad check pins backward-math correctness, so it runs in the
+    # well-conditioned production-init regime where fp divergence between
+    # two correct implementations stays ~1e-3 flat across T
+    lscale = 1.0 / np.sqrt(h)
+    lparams_sg = tuple(
+        {"w_ih": lscale * jax.random.normal(ks[2 + 2 * i],
+                                            (d if i == 0 else h, 4 * h)),
+         "w_hh": lscale * jax.random.normal(ks[3 + 2 * i], (h, 4 * h)),
+         "b": jnp.full((4 * h,), 0.02)}
+        for i in range(2)
+    )
+
+    def _lstm_kernel_loss(keep_s):
+        def f(xx):
+            hf = lv.fused_lstm_final(xx, keep_s, lparams_sg)
+            return jnp.sum(hf * jnp.sin(hf)) / (b * h)
+        return f
+
+    def _lstm_scan_loss(keep_s):
+        def f(xx):
+            x_tm2 = jnp.swapaxes(xx, 0, 1)
+            carry, _, _ = lv._fwd_scan(x_tm2, lv._keep_tm(keep_s),
+                                       lparams_sg)
+            hf = carry[-1][0]
+            return jnp.sum(hf * jnp.sin(hf)) / (b * h)
+        return f
+
+    _scan_grad_leg("lstm", _lstm_kernel_loss, _lstm_scan_loss)
+
     dx_v2 = np.asarray(g)
     lv.set_res2_mode("off")
     dx_leg = np.asarray(jax.jit(jax.grad(loss_legacy))(x_bm))
@@ -193,14 +248,35 @@ def main() -> int:
     ggrad_rel = abs(gfd - gdirectional) / max(abs(gfd), 1e-9)
     report["gru_grad_directional"] = {
         "fd": gfd, "grad_dot_v": gdirectional, "rel": ggrad_rel}
-    # REPORT-ONLY until a passing run banks the 1/sqrt(h) conditioning
-    # (the 0.2-scale attempt measured rel 1.12 from map chaos while
-    # v2-vs-legacy was bitwise — flip to fatal once a clean baseline is
-    # recorded here): PENDING-BANK
+    # REPORT-ONLY, permanently: the 2026-08-18 chip run measured rel
+    # 2.8e-1 at fd 9.8e-4 — the GRU's gradient for this loss is tiny at
+    # 1/sqrt(h) scale, so the eps=3e-3 FD quotient is noise-dominated at
+    # ANY T (T=50 measured fd_rel 3.0e-1 with the scan-vs-kernel grads
+    # agreeing to 1.2e-3, cosine 1.000000).  The FATAL gradient check
+    # for the GRU is the scan-reference leg below + the bitwise
+    # v2-vs-legacy assert.
     if ggrad_rel > GRAD_DIRECTIONAL_REL:
-        report["gru_grad_directional"]["warning"] = (
-            f"rel {ggrad_rel:.2e} above {GRAD_DIRECTIONAL_REL} "
-            "(non-fatal pending conditioning bank)")
+        report["gru_grad_directional"]["note"] = (
+            f"rel {ggrad_rel:.2e} above {GRAD_DIRECTIONAL_REL}: "
+            "ill-conditioned FD (|fd| ~1e-3), report-only; see "
+            "gru_scan_grad_T* for the fatal check")
+
+    def _gru_kernel_loss(keep_s):
+        def f(xx):
+            hf = lv.fused_gru_final(xx, keep_s, gparams)
+            return jnp.sum(hf * jnp.sin(hf)) / (b * h)
+        return f
+
+    def _gru_scan_loss(keep_s):
+        def f(xx):
+            x_tm2 = jnp.swapaxes(xx, 0, 1)
+            carry, _, _ = lv._gru_fwd_scan(x_tm2, lv._keep_tm(keep_s),
+                                           gparams)
+            hf = carry[-1]
+            return jnp.sum(hf * jnp.sin(hf)) / (b * h)
+        return f
+
+    _scan_grad_leg("gru", _gru_kernel_loss, _gru_scan_loss)
 
     def gloss_legacy(x):
         hf = lv.fused_gru_final(x, keep_bm, gparams)
