@@ -33,6 +33,44 @@ from multimodal_emotion_detection_tpu.ops.flash_attention import (
     flash_attention,
 )
 
+# Full-step flash-vs-XLA crossover measured on v5e with the production
+# train step: the XLA MHA path is faster end-to-end while the
+# (B, H, T, T) scores tensor is small — the (0,2,1,3) transposes in/out
+# of the Pallas kernel plus lost fusion with neighbouring ops outweigh
+# flash's O(T) memory win — and flash wins once the scores XLA must
+# materialize (twice: stored probs + backward) get large.  The crossover
+# is NOT a pure function of T: at b32 it sits at T>=1024
+# (benchmarks/r3q_tpu.json: 0.80/0.82/0.74 flash-vs-xla at 375/512/768,
+# 1.07/1.09 at 1024/1536) but at b256 flash already wins at T=375
+# (benchmarks/r3r_tpu.json: 1.058; blockwise folded-batch 512 of
+# 512-blocks is parity 0.999).  A scores-ELEMENT criterion fits every
+# measured point: route to flash at B*H*T^2 >= 32*4*1024^2 (=2^27,
+# the b32 crossover; b256@375 = 144M just above it, b32@768 = 75M and
+# b256@256 = 67M below).  At/above parity flash is also the safer
+# choice: it never materializes the scores, so HBM use stays O(T).
+FLASH_AUTO_MIN_SCORES = 32 * 4 * 1024 * 1024
+
+
+def flash_auto_routes_to_kernel(
+    batch: int, seq_len: int, num_heads: int, interpret: bool = False
+) -> bool:
+    """Trace-time routing decision for ``use_flash='auto'``.
+
+    'auto' is a performance router, so it only ever picks the kernel on
+    the real TPU backend (never the interpret-mode CPU emulation —
+    explicit ``use_flash=True`` remains the way to exercise that in
+    tests), and only when the full-step measurements say the kernel
+    wins: scores elements B*H*T^2 >= FLASH_AUTO_MIN_SCORES.  Note under
+    GSPMD the trace sees the GLOBAL batch (per-chip scores are 1/ndev
+    of the estimate); the threshold is a heuristic calibrated at b32
+    and b256 single-chip (r3q/r3r) and parity-or-better well past it.
+    """
+    return (
+        jax.default_backend() == "tpu"
+        and not interpret
+        and batch * num_heads * seq_len * seq_len >= FLASH_AUTO_MIN_SCORES
+    )
+
 
 def masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray], axis: int = 1):
     """Mean over ``axis`` honouring an optional (B, T) validity mask."""
@@ -135,7 +173,10 @@ class TransformerBlock(nn.Module):
     num_heads: int = 4
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
-    use_flash: bool = False  # Pallas flash kernel (ops/flash_attention.py)
+    # Pallas flash kernel (ops/flash_attention.py): True | False | 'auto'
+    # ('auto' routes on the trace-time scores size — see
+    # flash_auto_routes_to_kernel)
+    use_flash: Any = "auto"
     flash_interpret: bool = False
 
     @nn.compact
@@ -154,7 +195,14 @@ class TransformerBlock(nn.Module):
         flash_dropout_ok = (
             jax.default_backend() == "tpu" and not self.flash_interpret
         )
-        if self.use_flash and (not dropout_active or flash_dropout_ok):
+        use_flash = self.use_flash
+        if use_flash == "auto":
+            # shapes are static under jit: this resolves at trace time
+            use_flash = flash_auto_routes_to_kernel(
+                x.shape[0], x.shape[1], self.num_heads,
+                interpret=self.flash_interpret,
+            )
+        if use_flash and (not dropout_active or flash_dropout_ok):
             attn_out = _FlashSelfAttention(
                 num_heads=self.num_heads,
                 qkv_features=self.hidden_dim,
@@ -211,7 +259,11 @@ class SequenceEncoder(nn.Module):
     inference_kernel: bool = True  # Pallas in-kernel recurrence at eval
     max_len: int = 4096
     attention_block: int = 512  # local-attention block size past max_len
-    use_flash: bool = True  # Pallas flash attention in transformer blocks
+    # Pallas flash attention in transformer blocks: True | False | 'auto'
+    # ('auto', the default, routes per trace-time scores size — XLA MHA
+    # when B*H*T^2 is small, the flash kernel once it is large; see
+    # flash_auto_routes_to_kernel, benchmarks/r3q+r3r_tpu.json)
+    use_flash: Any = "auto"
     flash_interpret: bool = False
 
     @nn.compact
@@ -568,7 +620,7 @@ def build_encoder(
             scan_unroll=cfg.pop("scan_unroll", 4),
             fused=cfg.pop("fused", True),
             inference_kernel=cfg.pop("inference_kernel", False),
-            use_flash=cfg.pop("use_flash", False),
+            use_flash=cfg.pop("use_flash", "auto"),
             dtype=dtype,
             name=f"{modality}_encoder",
         )

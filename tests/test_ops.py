@@ -374,6 +374,79 @@ def test_transformer_flash_dropout_falls_back_on_cpu():
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
 
 
+def test_flash_auto_routing_criterion():
+    """The 'auto' router picks the kernel iff (TPU backend, no interpret,
+    B*H*T^2 >= FLASH_AUTO_MIN_SCORES).  Calibration points from the
+    full-step chip measurements (benchmarks/r3q_tpu.json, r3r_tpu.json):
+    b32 crosses at T=1024, b256 already wins at T=375, b32@768 and
+    hypothetical b256@256 stay on XLA."""
+    from multimodal_emotion_detection_tpu.models import encoders as enc_mod
+
+    route = enc_mod.flash_auto_routes_to_kernel
+    on_tpu = jax.default_backend() == "tpu"
+
+    # the pure scores-size arithmetic, backend factored out
+    def scores_side(b, t, h=4):
+        return b * h * t * t >= enc_mod.FLASH_AUTO_MIN_SCORES
+
+    assert scores_side(32, 1024) and not scores_side(32, 1023)
+    assert not scores_side(32, 768)  # r3q: XLA 1.35x faster there
+    assert scores_side(256, 375)  # r3r: flash 1.058x at the b256 flagship
+    assert not scores_side(256, 256)
+    assert scores_side(3008, 512)  # raw-waveform blockwise folded batch
+
+    # the router composes backend/interpret gates with the arithmetic
+    assert route(32, 1024, 4) == on_tpu
+    assert route(32, 1024, 4, interpret=True) is False
+    assert route(32, 768, 4) is False
+
+
+def test_transformer_use_flash_auto_routing(monkeypatch):
+    """'auto' resolves at trace time from the static shapes: XLA MHA for
+    small scores, the flash kernel for large — and only on the TPU
+    backend ('auto' is a performance router; it never picks the
+    interpret-mode CPU emulation).  Both routes build the identical
+    "self_attn" parameter tree, so routing flips are
+    checkpoint-transparent."""
+    from multimodal_emotion_detection_tpu.models import encoders as enc_mod
+
+    calls = []
+
+    def spy(q, *a, **k):
+        calls.append(q.shape)
+        return jnp.zeros_like(q)
+
+    monkeypatch.setattr(enc_mod, "flash_attention", spy)
+    block = enc_mod.TransformerBlock(hidden_dim=32, num_heads=4,
+                                     dropout=0.0, use_flash="auto")
+    # (B=32, T=1024, H=4) sits exactly at FLASH_AUTO_MIN_SCORES
+    x_long = jnp.zeros((32, 1024, 32), jnp.float32)
+    x_short = jnp.zeros((32, 64, 32), jnp.float32)
+    params = block.init(jax.random.PRNGKey(0), x_short)
+
+    # CPU backend: auto never picks flash, even at/above the threshold
+    block.apply(params, x_long, deterministic=True)
+    assert not calls
+
+    # TPU backend (faked; the spy intercepts before any Pallas lowering):
+    # small scores ride XLA, large ones the kernel — on one params tree
+    monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+    block.apply(params, x_short, deterministic=True)
+    assert not calls
+    block.apply(params, x_long, deterministic=True)
+    assert len(calls) == 1
+
+
+def test_build_encoder_defaults_use_flash_auto():
+    """The factory default is 'auto' (config omits the knob -> routed)."""
+    from multimodal_emotion_detection_tpu.models.encoders import build_encoder
+
+    enc = build_encoder("audio", input_dim=16, output_dim=8,
+                        encoder_config={"type": "sequence",
+                                        "encoder_type": "transformer"})
+    assert enc.use_flash == "auto"
+
+
 def test_flash_attention_two_pass_backward_route():
     """nk > _FUSE_MAX_NK falls back to the separate-dQ backward; grads must
     match the reference on that route too."""
