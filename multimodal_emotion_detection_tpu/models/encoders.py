@@ -50,6 +50,18 @@ from multimodal_emotion_detection_tpu.ops.flash_attention import (
 # choice: it never materializes the scores, so HBM use stays O(T).
 FLASH_AUTO_MIN_SCORES = 32 * 4 * 1024 * 1024
 
+# r3s: fuse the XLA route's three q/k/v projection gemms into one
+# (D, 3*H*Dh) einsum (_FusedQKVSelfAttention — same param tree, same
+# flax attention core).  Default decided by the full-step interleaved
+# A/B on chip (benchmarks/r3s_tpu.json); the setter exists so the probe
+# and tests can flip it per-build.
+_XLA_FUSED_QKV = False
+
+
+def set_xla_fused_qkv(on: bool) -> None:
+    global _XLA_FUSED_QKV
+    _XLA_FUSED_QKV = bool(on)
+
 
 def flash_auto_routes_to_kernel(
     batch: int, seq_len: int, num_heads: int, interpret: bool = False
@@ -108,6 +120,84 @@ class AttentionPool(nn.Module):
             scores = jnp.where(mask.astype(bool), scores, -1e9)
         weights = jax.nn.softmax(scores, axis=1)  # (B, T)
         return jnp.einsum("bt,bth->bh", weights, frames)
+
+
+class _QKVProjParams(nn.Module):
+    """Parameter container with ``nn.DenseGeneral``'s exact {kernel, bias}
+    tree and inits — lets the fused-QKV attention below own q/k/v params
+    that are bit-compatible with ``nn.MultiHeadDotProductAttention``'s."""
+
+    in_dim: int
+    num_heads: int
+    head_dim: int
+
+    @nn.compact
+    def __call__(self):
+        def kernel_init(rng, shape, dtype=jnp.float32):
+            # DenseGeneral draws on the FLATTENED (in, H*Dh) shape then
+            # reshapes — replicate so init values match it bitwise
+            flat = (shape[0], shape[1] * shape[2])
+            return nn.linear.default_kernel_init(rng, flat, dtype).reshape(
+                shape)
+
+        kernel = self.param(
+            "kernel", kernel_init,
+            (self.in_dim, self.num_heads, self.head_dim), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(),
+            (self.num_heads, self.head_dim), jnp.float32)
+        return kernel, bias
+
+
+class _FusedQKVSelfAttention(nn.Module):
+    """XLA-path self-attention with ONE fused q/k/v projection gemm.
+
+    Numerically the same computation as ``nn.MultiHeadDotProductAttention``
+    (it builds the identical {query,key,value,out}/{kernel,bias} parameter
+    tree, draws the same ``make_rng('dropout')`` stream, and calls flax's
+    own ``nn.dot_product_attention`` core), but the three (D, H*Dh)
+    projection gemms become a single (D, 3*H*Dh) einsum — one MXU dispatch
+    with a 3x wider N dimension, which matters in the small-scores regime
+    where the XLA route runs (benchmarks/r3s_tpu.json).
+    """
+
+    num_heads: int
+    qkv_features: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, T, F)
+        mask: Optional[jnp.ndarray] = None,  # broadcastable (B,1,1,T) bool
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        in_dim = x.shape[-1]
+        head_dim = self.qkv_features // self.num_heads
+        proj = functools.partial(
+            _QKVProjParams, in_dim=in_dim,
+            num_heads=self.num_heads, head_dim=head_dim)
+        qk, qb = proj(name="query")()
+        kk, kb = proj(name="key")()
+        vk, vb = proj(name="value")()
+        # (D, 3, H, Dh) / (3, H, Dh): the stack is O(D*H*Dh) bytes per
+        # step — negligible next to the gemm it fuses
+        w = jnp.stack([qk, kk, vk], axis=1).astype(self.dtype)
+        b = jnp.stack([qb, kb, vb], axis=0).astype(self.dtype)
+        qkv = jnp.einsum("btd,dchn->btchn", x.astype(self.dtype), w) + b
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        dropout_rng = None
+        if self.dropout_rate > 0.0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+        attn = nn.dot_product_attention(
+            q, k, v, mask=mask,
+            dropout_rng=dropout_rng, dropout_rate=self.dropout_rate,
+            broadcast_dropout=True, deterministic=deterministic,
+            dtype=self.dtype)
+        return nn.DenseGeneral(
+            features=in_dim, axis=(-2, -1), dtype=self.dtype, name="out"
+        )(attn)
 
 
 class _FlashSelfAttention(nn.Module):
@@ -217,14 +307,23 @@ class TransformerBlock(nn.Module):
             if key_padding_mask is not None:
                 # (B, 1, 1, T): broadcast over heads and query positions
                 attn_mask = key_padding_mask[:, None, None, :].astype(bool)
-            attn_out = nn.MultiHeadDotProductAttention(
-                num_heads=self.num_heads,
-                qkv_features=self.hidden_dim,
-                dropout_rate=self.dropout,
-                deterministic=deterministic,
-                dtype=self.dtype,
-                name="self_attn",
-            )(x, x, mask=attn_mask)
+            if _XLA_FUSED_QKV:
+                attn_out = _FusedQKVSelfAttention(
+                    num_heads=self.num_heads,
+                    qkv_features=self.hidden_dim,
+                    dropout_rate=self.dropout,
+                    dtype=self.dtype,
+                    name="self_attn",
+                )(x, mask=attn_mask, deterministic=deterministic)
+            else:
+                attn_out = nn.MultiHeadDotProductAttention(
+                    num_heads=self.num_heads,
+                    qkv_features=self.hidden_dim,
+                    dropout_rate=self.dropout,
+                    deterministic=deterministic,
+                    dtype=self.dtype,
+                    name="self_attn",
+                )(x, x, mask=attn_mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(x + attn_out)
         h = nn.Dense(self.hidden_dim * 4, dtype=self.dtype, name="ffn_in")(x)
         h = nn.gelu(h, approximate=False)  # torch F.gelu is the exact erf form

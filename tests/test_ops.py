@@ -401,6 +401,47 @@ def test_flash_auto_routing_criterion():
     assert route(32, 768, 4) is False
 
 
+def test_fused_qkv_xla_attention_parity():
+    """The fused-QKV XLA attention (_FusedQKVSelfAttention, r3s) is a
+    bitwise drop-in for nn.MultiHeadDotProductAttention inside
+    TransformerBlock: same param tree, same init draws (DenseGeneral's
+    flattened-shape kernel init replicated), same outputs deterministic
+    AND under dropout (same make_rng('dropout') stream)."""
+    from multimodal_emotion_detection_tpu.models import encoders as E
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 20, 32)), jnp.float32)
+    mask = jnp.asarray(rng.random((3, 20)) > 0.3)
+    blk = E.TransformerBlock(hidden_dim=32, num_heads=4, dropout=0.3,
+                             use_flash=False)
+    try:
+        E.set_xla_fused_qkv(False)
+        params = blk.init(jax.random.PRNGKey(0), x)
+        ref = blk.apply(params, x, key_padding_mask=mask,
+                        deterministic=True)
+        drop_ref = blk.apply(params, x, key_padding_mask=mask,
+                             deterministic=False,
+                             rngs={"dropout": jax.random.PRNGKey(7)})
+
+        E.set_xla_fused_qkv(True)
+        p2 = blk.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(p2)
+                == jax.tree_util.tree_structure(params))
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(p2)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        out = blk.apply(params, x, key_padding_mask=mask,
+                        deterministic=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        drop_out = blk.apply(params, x, key_padding_mask=mask,
+                             deterministic=False,
+                             rngs={"dropout": jax.random.PRNGKey(7)})
+        np.testing.assert_array_equal(np.asarray(drop_out),
+                                      np.asarray(drop_ref))
+    finally:
+        E.set_xla_fused_qkv(False)
+
+
 def test_transformer_use_flash_auto_routing(monkeypatch):
     """'auto' resolves at trace time from the static shapes: XLA MHA for
     small scores, the flash kernel for large — and only on the TPU
