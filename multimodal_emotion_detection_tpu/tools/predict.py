@@ -99,7 +99,9 @@ def main(argv=None):
     model = classifier_from_config(config)
     tx, _ = build_optimizer(config.training, steps_per_epoch=max(1, len(loader)))
     feats_all, labels_all = loader.device_arrays()
-    b = loader.batch_size
+    # splits smaller than batch_size yield short arrays: size the init
+    # template to what a[:b] actually returns or init/mask shapes diverge
+    b = min(loader.batch_size, loader.num_samples)
     sample = {m: a[:b] for m, a in feats_all.items()}
     template = create_train_state(
         model, tx, sample,

@@ -327,6 +327,38 @@ def test_train_cli_uncertainty_branch(tmp_path, monkeypatch):
     assert "ece" in results
 
 
+def test_predict_cli_mc_dropout_small_split(tmp_path, monkeypatch):
+    """tools/predict.py end-to-end: restore a trained checkpoint (via the
+    run's config_snapshot) and MC-dropout-eval a split SMALLER than
+    batch_size.  Regression: the init template used to take batch_size
+    rows of mask but only num_samples rows of features, crashing with a
+    broadcast error — found running BASELINE config 5 on chip."""
+    monkeypatch.chdir(tmp_path)
+    from multimodal_emotion_detection_tpu.tools.predict import (
+        main as predict_main,
+    )
+    from multimodal_emotion_detection_tpu.train import run
+
+    cfg = tiny_config()  # synthetic test split = 40 // 5 = 8 < batch 16
+    cfg.training.max_epochs = 1
+    cfg.experiment.save_dir = str(tmp_path / "out")
+    run(cfg)
+    run_dir = tmp_path / "out" / cfg.experiment.name
+    ckpt = run_dir / "best.ckpt"
+    assert ckpt.exists()
+    metrics = predict_main([
+        "--checkpoint", str(ckpt),
+        "--config", str(run_dir / "config_snapshot" / "config.yaml"),
+        "--split", "test", "--mc-dropout", "2",
+        "--out", str(tmp_path / "pred"),
+    ])
+    assert metrics["mc_dropout_samples"] == 2
+    assert (tmp_path / "pred" / "metrics.json").exists()
+    assert (tmp_path / "pred" / "uncertainty.npy").exists()
+    preds = np.load(tmp_path / "pred" / "predictions.npy")
+    assert preds.shape == (8,)
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     cfg = tiny_config()
     train_loader, _, _ = make_loaders(cfg)
