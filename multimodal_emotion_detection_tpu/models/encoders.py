@@ -72,15 +72,23 @@ def flash_auto_routes_to_kernel(
     the real TPU backend (never the interpret-mode CPU emulation —
     explicit ``use_flash=True`` remains the way to exercise that in
     tests), and only when the full-step measurements say the kernel
-    wins: scores elements B*H*T^2 >= FLASH_AUTO_MIN_SCORES.  Note under
-    GSPMD the trace sees the GLOBAL batch (per-chip scores are 1/ndev
-    of the estimate); the threshold is a heuristic calibrated at b32
-    and b256 single-chip (r3q/r3r) and parity-or-better well past it.
+    wins: PER-CHIP scores elements B*H*T^2 >= FLASH_AUTO_MIN_SCORES.
+
+    Under GSPMD the trace sees the GLOBAL batch while each chip executes
+    batch/ndev, so the estimate divides by ``jax.device_count()``
+    assuming a fully data-parallel batch.  That assumption errs toward
+    the XLA route (under shard_map the shape is already per-chip, and a
+    model-parallel mesh doesn't shard the batch) — deliberately so: the
+    measured cost of mis-routing to XLA past the crossover is <=9%
+    (r3q/r3r flash wins 1.06-1.09x) while mis-routing to flash below it
+    costs 20-35% (r3q XLA wins 1.21-1.35x).
     """
+    per_chip_batch = max(1, batch // jax.device_count())
     return (
         jax.default_backend() == "tpu"
         and not interpret
-        and batch * num_heads * seq_len * seq_len >= FLASH_AUTO_MIN_SCORES
+        and (per_chip_batch * num_heads * seq_len * seq_len
+             >= FLASH_AUTO_MIN_SCORES)
     )
 
 
@@ -286,7 +294,13 @@ class TransformerBlock(nn.Module):
             jax.default_backend() == "tpu" and not self.flash_interpret
         )
         use_flash = self.use_flash
-        if use_flash == "auto":
+        if isinstance(use_flash, str):
+            # reject typos/quoted booleans instead of letting an
+            # arbitrary truthy string silently force the kernel
+            if use_flash != "auto":
+                raise ValueError(
+                    f"use_flash must be True, False or 'auto'; got "
+                    f"{use_flash!r}")
             # shapes are static under jit: this resolves at trace time
             use_flash = flash_auto_routes_to_kernel(
                 x.shape[0], x.shape[1], self.num_heads,

@@ -125,7 +125,7 @@ def main(argv=None):
         if args.mc_dropout > 0:
             logits, unc = mc_dropout_predict(
                 model, state.params, state.model_state, features,
-                num_samples=args.mc_dropout, key=key,
+                num_samples=args.mc_dropout, key=key, mask=mask,
             )
             unc_list.append(np.asarray(unc))
         else:

@@ -25,9 +25,10 @@ def _get_mc_forward(model, num_modalities: int):
     if cache_key not in _FORWARD_CACHE:
 
         @jax.jit
-        def mc_forward(params, model_state, features, keys):
-            b = next(iter(features.values())).shape[0]
-            mask = jnp.ones((b, num_modalities), dtype=jnp.float32)
+        def mc_forward(params, model_state, features, keys, mask=None):
+            if mask is None:
+                b = next(iter(features.values())).shape[0]
+                mask = jnp.ones((b, num_modalities), dtype=jnp.float32)
             variables = {"params": params, **model_state}
 
             def single(key):
@@ -54,17 +55,21 @@ def mc_dropout_predict(
     features: Dict[str, jnp.ndarray],
     num_samples: int = 10,
     key: Optional[jax.Array] = None,
+    mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (mean_logits (B, C), uncertainty (B,)).
 
     uncertainty = mean over classes of the across-sample variance of
     softmax probabilities — the reference's definition (uncertainty.py:79-84).
+    ``mask`` (B, M) marks modalities present; None means all present
+    (callers simulating missing modalities must pass the rewritten mask
+    or mask-aware fusion treats zeroed inputs as valid).
     """
     assert num_samples >= 1
     key = key if key is not None else jax.random.PRNGKey(0)
     keys = jax.random.split(key, num_samples)
     forward = _get_mc_forward(model, len(features))
-    logits = forward(params, model_state, features, keys)  # (S, B, C)
+    logits = forward(params, model_state, features, keys, mask)  # (S, B, C)
     mean_logits = logits.mean(axis=0)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     var_probs = probs.var(axis=0)  # (B, C), population variance

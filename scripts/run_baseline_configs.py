@@ -58,7 +58,9 @@ def ensure_dataset(work: Path) -> Path:
     return dataset
 
 
-def last_clips_per_sec(csv_path: Path) -> float | None:
+def best_clips_per_sec(csv_path: Path) -> float | None:
+    """Max per-epoch train/clips_per_sec of the run (the early epochs
+    include compile time, so the max approximates steady state)."""
     if not csv_path.exists():
         return None
     rows = csv_path.read_text().strip().splitlines()
@@ -77,16 +79,32 @@ def last_clips_per_sec(csv_path: Path) -> float | None:
     return best
 
 
+def best_epoch_ckpt(ckpt_dir: Path) -> Path | None:
+    """Lowest-val-loss epoch checkpoint (NEVER last.ckpt: lexicographic
+    glob sorting would always pick it, and uncertainty-fusion runs don't
+    get a best.ckpt copy — train.py's uncertainty branch)."""
+    import re
+
+    best = None
+    for p in ckpt_dir.glob("epoch=*-val_loss=*.ckpt"):
+        m = re.search(r"val_loss=([0-9.eE+-]+)\.ckpt$", p.name)
+        if m:
+            v = float(m.group(1))
+            if best is None or v < best[0]:
+                best = (v, p)
+    return best[1] if best else None
+
+
 def main(argv=None) -> None:
-    argv = list(sys.argv[1:] if argv is None else argv)
-    platform = None
-    epochs = 10
-    it = iter(argv)
-    for a in it:
-        if a == "--platform":
-            platform = next(it) or None
-        elif a == "--epochs":
-            epochs = int(next(it))
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Run the five BASELINE.json configs end-to-end")
+    parser.add_argument("--platform", default=None,
+                        help="runtime.platform override (e.g. cpu)")
+    parser.add_argument("--epochs", type=int, default=10)
+    args = parser.parse_args(argv)
+    platform, epochs = args.platform or None, args.epochs
 
     work = ROOT / "_baseline_configs_work"
     dataset = ensure_dataset(work)
@@ -125,7 +143,7 @@ def main(argv=None) -> None:
         entry = {
             "yaml": yaml_name,
             "wall_s_incl_compile": wall,
-            "train_clips_per_sec": last_clips_per_sec(
+            "train_clips_per_sec_best": best_clips_per_sec(
                 save_dir / "csv_logs" / "version_0" / "metrics.csv"),
             "artifacts": {
                 p: (save_dir / p).exists()
@@ -149,11 +167,10 @@ def main(argv=None) -> None:
         print(json.dumps(entry), flush=True)
 
     # BASELINE config 5's eval half: MC-dropout predict on the best ckpt
+    # (uncertainty runs don't get a best.ckpt copy; pick the lowest-val-
+    # loss epoch checkpoint by parsed filename, never last.ckpt)
     unc_dir = runs / "uncertainty"
-    ckpt = unc_dir / "best.ckpt"
-    if not ckpt.exists():
-        cands = sorted((unc_dir / "checkpoints").glob("*.ckpt"))
-        ckpt = cands[-1] if cands else None
+    ckpt = best_epoch_ckpt(unc_dir / "checkpoints")
     if ckpt:
         from multimodal_emotion_detection_tpu.tools.predict import (
             main as predict_main,
@@ -170,6 +187,7 @@ def main(argv=None) -> None:
         metrics = predict_main(pargs)
         report["mc_dropout_predict"] = {
             "samples": 8,
+            "checkpoint": ckpt.name,
             "artifacts": {p: (pred_out / p).exists()
                           for p in ("metrics.json", "logits.npy",
                                     "predictions.npy", "uncertainty.npy")},

@@ -470,8 +470,11 @@ def test_transformer_use_flash_auto_routing(monkeypatch):
     assert not calls
 
     # TPU backend (faked; the spy intercepts before any Pallas lowering):
-    # small scores ride XLA, large ones the kernel — on one params tree
+    # small scores ride XLA, large ones the kernel — on one params tree.
+    # device_count pinned to 1: the router divides the (possibly global)
+    # batch by it, and the test suite runs on 8 virtual devices.
     monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(enc_mod.jax, "device_count", lambda: 1)
     block.apply(params, x_short, deterministic=True)
     assert not calls
     block.apply(params, x_long, deterministic=True)

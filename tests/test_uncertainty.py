@@ -135,6 +135,39 @@ def test_mc_dropout_shapes_and_variance():
     assert float(unc.max()) > 0.0  # dropout active -> nonzero variance
 
 
+def test_mc_dropout_respects_modality_mask():
+    """The availability mask flows through mc_dropout_predict into the
+    model (regression: predict.py --missing + --mc-dropout used to run
+    with a silently-substituted all-ones mask)."""
+    enc_cfg = {
+        m: {"type": "mlp", "input_dim": 8, "hidden_dim": 16,
+            "num_layers": 1, "batch_norm": False, "dropout": 0.0}
+        for m in ("a", "b")
+    }
+    model = MultimodalClassifier(
+        modalities=("a", "b"), encoder_configs=enc_cfg, num_classes=4,
+        output_dim=8, hidden_dim=16, dropout=0.0, use_modality_mask=True,
+    )
+    feats = {"a": jax.random.normal(KEY, (6, 8)),
+             "b": jax.random.normal(jax.random.PRNGKey(9), (6, 8))}
+    variables = dict(model.init(KEY, feats))
+    params = variables.pop("params")
+    missing_b = jnp.stack(
+        [jnp.ones(6), jnp.zeros(6)], axis=1).astype(jnp.float32)
+    full, _ = mc_dropout_predict(
+        model, params, variables, feats, num_samples=2, key=KEY)
+    masked, _ = mc_dropout_predict(
+        model, params, variables, feats, num_samples=2, key=KEY,
+        mask=missing_b)
+    assert not np.allclose(np.asarray(full), np.asarray(masked))
+    # dropout=0 -> MC forward == plain forward given the same mask
+    plain = model.apply({"params": params, **variables}, feats, missing_b,
+                        deterministic=True)
+    plain = plain[0] if isinstance(plain, tuple) else plain
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_mc_dropout_zero_dropout_is_deterministic():
     model, variables, feats = _tiny_model_and_params(dropout=0.0)
     params = variables.pop("params")
