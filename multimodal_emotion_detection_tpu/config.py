@@ -230,6 +230,13 @@ class RuntimeConfig:
     # by bf16 eps per element).  Engages only on the final-hidden encoder
     # path; forward outputs stay f32.
     lstm_residual_dtype: str = "float32"
+    # Gate rematerialization for the residual-native LSTM kernel pair
+    # (v3, benchmarks/r3t): the forward stores only the c_prev series and
+    # the backward recomputes the gate pre-activations in-kernel from the
+    # streamed h_prev/x series — ~45% less kernel-pair HBM traffic at f32
+    # for three extra small dots per reverse step.  Gradients match the
+    # stored-gates path to matmul rounding (~1e-7 rel f32).
+    lstm_remat_gates: bool = False
     # Checkpoint serialization: 'auto' (orbax under a multi-device mesh —
     # sharding-preserving, restore-reshard capable — msgpack otherwise) |
     # 'msgpack' | 'orbax'

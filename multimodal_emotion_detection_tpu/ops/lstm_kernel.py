@@ -1650,6 +1650,15 @@ RES2_C0P = 8
 RES2_C1P = 9
 RES2_W = 10      # packed width in units of H
 
+# v3 (gate-remat) packed layout: gates are NOT stored — the backward
+# recomputes the pre-activations from the streamed h_prev/x series and
+# the weights (docs/KERNELS.md "gate rematerialization").  Only the
+# c_prev series survive (they cannot be recomputed without re-running
+# the recurrence).
+RES3_C0P = 0
+RES3_C1P = 1
+RES3_W = 2       # packed width in units of H
+
 
 def _lstm2_fwd_res_kernel(
     ih0_hbm,    # (T_pad, B, 4H) ANY — hoisted layer-0 input projections
@@ -1669,6 +1678,7 @@ def _lstm2_fwd_res_kernel(
     tile_b: int,
     full_unroll: bool,
     res_dtype=jnp.float32,
+    store_gates: bool = True,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1676,6 +1686,7 @@ def _lstm2_fwd_res_kernel(
     batch = tile_b
     h_dim = w_hh0_ref.shape[0]
     g4 = 4 * h_dim
+    pk_w = (RES2_W if store_gates else RES3_W) * h_dim
     num_chunks = ih0_hbm.shape[0] // chunk
     b0 = pl.program_id(0) * tile_b
 
@@ -1762,14 +1773,23 @@ def _lstm2_fwd_res_kernel(
                 # residuals as consumed: gate pre-activations + PRE-step
                 # state (the "shift" is free here).  res_dtype=bfloat16
                 # halves the dominant HBM stream; compute/carries stay f32
-                pk_buf[slot, s, :, RES2_G0 * h_dim:RES2_G1 * h_dim] = (
-                    gates0.astype(res_dtype))
-                pk_buf[slot, s, :, RES2_G1 * h_dim:RES2_C0P * h_dim] = (
-                    gates1.astype(res_dtype))
-                pk_buf[slot, s, :,
-                       RES2_C0P * h_dim:RES2_C1P * h_dim] = c0.astype(res_dtype)
-                pk_buf[slot, s, :, RES2_C1P * h_dim:RES2_W * h_dim] = (
-                    c1.astype(res_dtype))
+                if store_gates:
+                    pk_buf[slot, s, :, RES2_G0 * h_dim:RES2_G1 * h_dim] = (
+                        gates0.astype(res_dtype))
+                    pk_buf[slot, s, :, RES2_G1 * h_dim:RES2_C0P * h_dim] = (
+                        gates1.astype(res_dtype))
+                    pk_buf[slot, s, :, RES2_C0P * h_dim:RES2_C1P * h_dim] = (
+                        c0.astype(res_dtype))
+                    pk_buf[slot, s, :, RES2_C1P * h_dim:RES2_W * h_dim] = (
+                        c1.astype(res_dtype))
+                else:
+                    # v3: gates are rematerialized by the backward; only
+                    # the c_prev series stream out (5H instead of 13H of
+                    # residual writes per step)
+                    pk_buf[slot, s, :, RES3_C0P * h_dim:RES3_C1P * h_dim] = (
+                        c0.astype(res_dtype))
+                    pk_buf[slot, s, :, RES3_C1P * h_dim:RES3_W * h_dim] = (
+                        c1.astype(res_dtype))
                 h0p_buf[slot, s] = h0.astype(res_dtype)
                 h1p_buf[slot, s] = h1.astype(res_dtype)
                 x1_buf[slot, s] = x1.astype(res_dtype)
@@ -1803,7 +1823,7 @@ def _lstm2_fwd_res_kernel(
         body,
         ih_buf=pltpu.VMEM((2, chunk, batch, g4), jnp.float32),
         keep_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
-        pk_buf=pltpu.VMEM((2, chunk, batch, RES2_W * h_dim), res_dtype),
+        pk_buf=pltpu.VMEM((2, chunk, batch, pk_w), res_dtype),
         h0p_buf=pltpu.VMEM((2, chunk, batch, h_dim), res_dtype),
         h1p_buf=pltpu.VMEM((2, chunk, batch, h_dim), res_dtype),
         x1_buf=pltpu.VMEM((2, chunk, batch, h_dim), res_dtype),
@@ -1822,6 +1842,7 @@ def lstm2_train_fwd_residuals(
     interpret: bool = False,
     full_unroll: bool = None,
     res_dtype=jnp.float32,
+    store_gates: bool = True,
 ):
     """Forward with consumer-shaped residuals (zero post-processing).
 
@@ -1864,13 +1885,15 @@ def lstm2_train_fwd_residuals(
     tile_b = _pick_tile_b(batch)
     kernel = functools.partial(_lstm2_fwd_res_kernel, t_len=t_len,
                                chunk=chunk, tile_b=tile_b,
-                               full_unroll=full_unroll, res_dtype=res_dtype)
+                               full_unroll=full_unroll, res_dtype=res_dtype,
+                               store_gates=store_gates)
     f32 = jnp.float32
+    pk_w = (RES2_W if store_gates else RES3_W) * h_dim
     packed, h0p, h1p, x1, finals = pl.pallas_call(
         kernel,
         grid=(batch // tile_b,),
         out_shape=(
-            jax.ShapeDtypeStruct((t_pad, batch, RES2_W * h_dim), res_dtype),
+            jax.ShapeDtypeStruct((t_pad, batch, pk_w), res_dtype),
             jax.ShapeDtypeStruct((t_pad, batch, h_dim), res_dtype),
             jax.ShapeDtypeStruct((t_pad, batch, h_dim), res_dtype),
             jax.ShapeDtypeStruct((t_pad, batch, h_dim), res_dtype),
@@ -2085,6 +2108,249 @@ def lstm2_bwd_chain_padded(
         interpret=interpret,
     )(*operands)
     return dg0, dg1
+
+
+# ---------------------------------------------------------------------------
+# v3: gate-rematerializing reverse chain.  The v2 kernels are
+# HBM-bandwidth-bound on the residual streams (docs/KERNELS.md "bf16
+# residual streams"); the MXU, meanwhile, idles between the small serial
+# matmuls.  v3 trades that idle MXU time for stream bytes: the forward
+# stores only what cannot be recomputed (the c_prev series + the h_prev/x
+# series the weight-gradient contractions need anyway — 5H instead of 13H
+# of residual writes per step), and the backward REBUILDS the gate
+# pre-activations in-kernel from the streamed series and the weights:
+#   g0 = x @ w_ih0 + b0 + h0_prev @ w_hh0        (two extra dots)
+#   g1 = [x1|h1_prev] @ [w_ih1;w_hh1] + b1       (one extra dot)
+# The recomputation is the SAME f32 expression the forward evaluated, so
+# gradients match the stored-gates path to matmul-rounding (~1e-7 rel in
+# f32; in bf16-residual mode the recompute reads bf16-rounded h/x series —
+# the same approximation class as v2's bf16-rounded gates).
+# ---------------------------------------------------------------------------
+
+
+def _lstm2_bwd_remat_kernel(
+    pk_hbm,     # (T_pad, B, 2H) ANY — packed [c0_prev|c1_prev]
+    keep_hbm,   # (T_pad, B, H) ANY
+    x_hbm,      # (T_pad, B, D) ANY — raw layer-0 input series
+    x1_hbm,     # (T_pad, B, H) ANY — layer-1 input series (h0_new*keep)
+    h0p_hbm,    # (T_pad, B, H) ANY — layer-0 pre-step h series
+    h1p_hbm,    # (T_pad, B, H) ANY — layer-1 pre-step h series
+    *maybe_dys_and_rest,
+    t_len: int,
+    chunk: int,
+    tile_b: int,
+    full_unroll: bool,
+    has_dys: bool,
+):
+    """v2 reverse chain with in-kernel gate rematerialization."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if has_dys:
+        (dys_hbm, dhf_ref, w_hh1_t_ref, w_ih1_t_ref, w_hh0_t_ref,
+         w_ih0_ref, b0_ref, w_hh0_ref, w_xh1_ref, b1_ref,
+         dg0_hbm, dg1_hbm) = maybe_dys_and_rest
+    else:
+        (dhf_ref, w_hh1_t_ref, w_ih1_t_ref, w_hh0_t_ref,
+         w_ih0_ref, b0_ref, w_hh0_ref, w_xh1_ref, b1_ref,
+         dg0_hbm, dg1_hbm) = maybe_dys_and_rest
+        dys_hbm = None
+
+    batch = tile_b
+    h_dim = dhf_ref.shape[1]
+    g4 = 4 * h_dim
+    num_chunks = pk_hbm.shape[0] // chunk
+    b0 = pl.program_id(0) * tile_b
+
+    def body(pk_buf, keep_buf, x_buf, x1_buf, h0p_buf, h1p_buf,
+             dg0_buf, dg1_buf, in_sem, out_sem, state_buf, dys_buf=None):
+        state_buf[0] = dhf_ref[pl.ds(b0, tile_b)]
+        state_buf[1] = jnp.zeros((batch, h_dim), jnp.float32)
+        state_buf[2] = jnp.zeros((batch, h_dim), jnp.float32)
+        state_buf[3] = jnp.zeros((batch, h_dim), jnp.float32)
+        w_ih0 = w_ih0_ref[:]
+        b0_row = b0_ref[:]
+        w_hh0 = w_hh0_ref[:]
+        w_xh1 = w_xh1_ref[:]
+        b1_row = b1_ref[:]
+
+        srcs = [pk_hbm, keep_hbm, x_hbm, x1_hbm, h0p_hbm, h1p_hbm]
+        bufs = [pk_buf, keep_buf, x_buf, x1_buf, h0p_buf, h1p_buf]
+        if has_dys:
+            srcs.append(dys_hbm)
+            bufs.append(dys_buf)
+        dma_in = _chunked_in_copies(srcs, bufs, in_sem, b0, tile_b, chunk)
+
+        def dma_out(slot, ci):
+            row = pl.ds(ci * chunk, chunk)
+            cols = pl.ds(b0, tile_b)
+            return [
+                pltpu.make_async_copy(
+                    dg0_buf.at[slot], dg0_hbm.at[row, cols],
+                    out_sem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    dg1_buf.at[slot], dg1_hbm.at[row, cols],
+                    out_sem.at[slot, 1],
+                ),
+            ]
+
+        def read_res(slot, s):
+            f32 = jnp.float32
+            cp0 = pk_buf[slot, s, :,
+                         RES3_C0P * h_dim:RES3_C1P * h_dim].astype(f32)
+            cp1 = pk_buf[slot, s, :,
+                         RES3_C1P * h_dim:RES3_W * h_dim].astype(f32)
+            # rematerialize the gate pre-activations (see block comment)
+            g0 = (
+                jnp.dot(x_buf[slot, s].astype(f32), w_ih0,
+                        preferred_element_type=f32)
+                + b0_row
+                + jnp.dot(h0p_buf[slot, s].astype(f32), w_hh0,
+                          preferred_element_type=f32)
+            )
+            xh1 = jnp.concatenate(
+                [x1_buf[slot, s].astype(f32),
+                 h1p_buf[slot, s].astype(f32)], axis=-1)
+            g1 = jnp.dot(xh1, w_xh1, preferred_element_type=f32) + b1_row
+            return g0, g1, cp0, cp1
+
+        def write_dg(slot, s, dgates0, dgates1):
+            dg0_buf[slot, s] = dgates0.astype(dg0_buf.dtype)
+            dg1_buf[slot, s] = dgates1.astype(dg1_buf.dtype)
+
+        step = _lstm2_step_fn(
+            state_buf, keep_buf, dys_buf if has_dys else None,
+            w_hh1_t_ref[:], w_ih1_t_ref[:], w_hh0_t_ref[:],
+            h_dim, t_len, read_res, write_dg,
+        )
+        _reverse_chunk_walk(num_chunks, chunk, dma_in, dma_out, step,
+                            unroll=chunk if full_unroll else 1)
+
+    d_in = x_hbm.shape[-1]
+    scratch = dict(
+        pk_buf=pltpu.VMEM((2, chunk, batch, RES3_W * h_dim), pk_hbm.dtype),
+        keep_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        x_buf=pltpu.VMEM((2, chunk, batch, d_in), x_hbm.dtype),
+        x1_buf=pltpu.VMEM((2, chunk, batch, h_dim), x1_hbm.dtype),
+        h0p_buf=pltpu.VMEM((2, chunk, batch, h_dim), h0p_hbm.dtype),
+        h1p_buf=pltpu.VMEM((2, chunk, batch, h_dim), h1p_hbm.dtype),
+        dg0_buf=pltpu.VMEM((2, chunk, batch, g4), dg0_hbm.dtype),
+        dg1_buf=pltpu.VMEM((2, chunk, batch, g4), dg1_hbm.dtype),
+        in_sem=pltpu.SemaphoreType.DMA((2, 7 if has_dys else 6)),
+        out_sem=pltpu.SemaphoreType.DMA((2, 2)),
+        state_buf=pltpu.VMEM((4, batch, h_dim), jnp.float32),
+    )
+    if has_dys:
+        scratch["dys_buf"] = pltpu.VMEM((2, chunk, batch, h_dim),
+                                        jnp.float32)
+    pl.run_scoped(body, **scratch)
+
+
+def lstm2_bwd_chain_remat(
+    packed: jnp.ndarray,    # (T_pad, B, 2H) from the store_gates=False fwd
+    keep_pad: jnp.ndarray,  # (T_pad, B, H)
+    x_pad: jnp.ndarray,     # (T_pad, B, D) raw layer-0 input (pad rows any)
+    x1: jnp.ndarray,        # (T_pad, B, H)
+    h0p: jnp.ndarray,       # (T_pad, B, H)
+    h1p: jnp.ndarray,       # (T_pad, B, H)
+    dys,                    # (T_pad, B, H) or None
+    dh_final: jnp.ndarray,  # (B, H)
+    layer0: Dict[str, jnp.ndarray],
+    layer1: Dict[str, jnp.ndarray],
+    t_len: int,
+    chunk: int = None,
+    interpret: bool = False,
+    full_unroll: bool = None,
+):
+    """v3 fused reverse chain: recomputes gate pre-activations in-kernel.
+
+    Returns ``(dg0, dg1)`` each (T_pad, B, 4H) with pad rows ZERO, exactly
+    like :func:`lstm2_bwd_chain_padded` — the hoisted weight-gradient
+    contractions are unchanged.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    chunk = BWD2_CHUNK if chunk is None else chunk
+    full_unroll = BWD2_UNROLL if full_unroll is None else full_unroll
+    t_pad, batch, w2 = packed.shape
+    h_dim = w2 // RES3_W
+    g4 = 4 * h_dim
+    assert t_pad % chunk == 0
+
+    f32 = jnp.float32
+    tile_b = _pick_tile_b(batch)
+    has_dys = dys is not None
+    kernel = functools.partial(_lstm2_bwd_remat_kernel, t_len=t_len,
+                               chunk=chunk, tile_b=tile_b,
+                               full_unroll=full_unroll, has_dys=has_dys)
+    # Mosaic DMA slices must be lane-aligned: zero-pad the x stream (and
+    # the matching w_ih0 rows — zeros contribute nothing to the dot) up
+    # to a multiple of 128 lanes
+    d_in = x_pad.shape[-1]
+    d_128 = ((d_in + 127) // 128) * 128
+    w_ih0 = layer0["w_ih"].astype(f32)
+    if d_128 != d_in:
+        x_pad = jnp.pad(x_pad, ((0, 0), (0, 0), (0, d_128 - d_in)))
+        w_ih0 = jnp.pad(w_ih0, ((0, d_128 - d_in), (0, 0)))
+    operands = [packed, keep_pad, x_pad, x1, h0p, h1p]
+    if has_dys:
+        operands.append(dys.astype(f32))
+    w_ih1 = layer1["w_ih"].astype(f32)
+    w_hh1 = layer1["w_hh"].astype(f32)
+    operands += [
+        dh_final.astype(f32),
+        w_hh1.T,
+        w_ih1.T,
+        layer0["w_hh"].astype(f32).T,
+        w_ih0,
+        layer0["b"].astype(f32).reshape(1, -1),
+        layer0["w_hh"].astype(f32),
+        jnp.concatenate([w_ih1, w_hh1], axis=0),  # (2H, 4H)
+        layer1["b"].astype(f32).reshape(1, -1),
+    ]
+    dg_dtype = packed.dtype
+    dg0, dg1 = pl.pallas_call(
+        kernel,
+        grid=(batch // tile_b,),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, batch, g4), dg_dtype),
+            jax.ShapeDtypeStruct((t_pad, batch, g4), dg_dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (7 if has_dys else 6)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return dg0, dg1
+
+
+def bwd_remat_kernel_supported(batch: int, t_len: int, h_dim: int,
+                               d_in: int, chunk: int = None,
+                               allow_large: bool = False,
+                               f32_large: bool = False) -> bool:
+    """VMEM feasibility for the gate-remat reverse chain (v3)."""
+    chunk = BWD2_CHUNK if chunk is None else chunk
+    cap = _AUTO_MAX_BATCH_F32 if f32_large else _AUTO_MAX_BATCH
+    if batch > cap and not allow_large:
+        return False
+    tile = _pick_tile_b(batch)
+    if batch % tile != 0 or tile < 8:
+        return False
+    g4 = 4 * h_dim
+    d_pad = ((d_in + 127) // 128) * 128  # lane padding in VMEM
+    vmem = (
+        # streams: pk 2H + keep/x1/h0p/h1p 4H + x + dg out 8H (f32 worst)
+        2 * chunk * tile * (6 * h_dim + d_pad + 2 * g4) * 4
+        # weights: 3 transposed (4H,H) + w_ih0 (D,4H) + w_hh0 + w_xh1 (2H,4H)
+        + (3 * g4 * h_dim + d_pad * g4 + h_dim * g4 + 2 * h_dim * g4) * 4
+        + 4 * tile * h_dim * 4  # carry state
+    )
+    return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and t_len >= 1
 
 
 # ---------------------------------------------------------------------------

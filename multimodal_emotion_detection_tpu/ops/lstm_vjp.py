@@ -164,6 +164,41 @@ def set_res2_dtype(dtype: str) -> str:
     return prev
 
 
+# v3 gate rematerialization (config: runtime.lstm_remat_gates, read at
+# TRACE time).  'on': the v2 forward stores only [c0p|c1p] (+ the
+# h_prev/x series the contractions need anyway) and the backward kernel
+# recomputes the gate pre-activations from the streamed series and the
+# weights — ~45% less kernel-pair HBM traffic at f32 for three extra
+# small dots per reverse step (docs/KERNELS.md "gate remat").
+_RES2_REMAT = "off"  # 'on' | 'off'
+
+
+def set_res2_remat(mode: str) -> str:
+    global _RES2_REMAT
+    prev = _RES2_REMAT
+    assert mode in ("on", "off")
+    _RES2_REMAT = mode
+    return prev
+
+
+def _res3_ok(x_tm, params, interpret):
+    """Gate-remat (v3) engages on top of a qualifying v2 geometry when the
+    remat reverse kernel also fits VMEM (the extra weight operands)."""
+    if _RES2_REMAT != "on":
+        return False
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        bwd_remat_kernel_supported,
+    )
+
+    t_len, batch, d_in = x_tm.shape
+    h_dim = params[0]["w_hh"].shape[0]
+    f32_large = x_tm.dtype == jnp.float32
+    return bwd_remat_kernel_supported(
+        batch, t_len, h_dim, d_in,
+        allow_large=interpret, f32_large=f32_large,
+    )
+
+
 def _res2_ok(x_tm, params, interpret):
     """Use the residual-native (v2) kernel pair when BOTH the fwd residual
     kernel and the fused reverse-chain kernel qualify — the v2 layout has
@@ -199,10 +234,11 @@ def _fwd_pallas_res2(x_tm, keep_tm, params, interpret, final_only=False):
         if (final_only and _RES2_DTYPE == "bfloat16")
         else jnp.float32
     )
+    remat = _res3_ok(x_tm, params, interpret)
     packed, h0p, h1p, x1, keep_pad, finals, t_pad = (
         lstm2_train_fwd_residuals(
             x_tm, keep_tm[:, 0], params[0], params[1], interpret=interpret,
-            res_dtype=res_dtype,
+            res_dtype=res_dtype, store_gates=not remat,
         )
     )
     t_len = x_tm.shape[0]
@@ -213,7 +249,8 @@ def _fwd_pallas_res2(x_tm, keep_tm, params, interpret, final_only=False):
     ys = jnp.concatenate(
         [h1p[1:t_len].astype(finals.dtype), finals[2][None]], axis=0)
     carry = ((finals[0], finals[1]), (finals[2], finals[3]))
-    res = {"res2": (packed, h0p, h1p, x1, keep_pad, finals)}
+    key = "res3" if remat else "res2"
+    res = {key: (packed, h0p, h1p, x1, keep_pad, finals)}
     return carry, ys, res
 
 
@@ -223,10 +260,12 @@ def _bwd_impl_res2(saved, dys, dh_final):
     dgates rows are zero, so pad rows contribute nothing)."""
     from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
         lstm2_bwd_chain_padded,
+        lstm2_bwd_chain_remat,
     )
 
     x_tm, keep_tm, params, res, carry = saved
-    packed, h0p, h1p, x1, keep_pad, finals = res["res2"]
+    remat = "res3" in res
+    packed, h0p, h1p, x1, keep_pad, finals = res["res3" if remat else "res2"]
     t_len, batch = x_tm.shape[0], x_tm.shape[1]
     t_pad = packed.shape[0]
     interpret = _FWD_KERNEL_MODE == "interpret" or (
@@ -235,11 +274,6 @@ def _bwd_impl_res2(saved, dys, dh_final):
 
     if dys is not None and t_pad != t_len:
         dys = jnp.pad(dys, ((0, t_pad - t_len), (0, 0), (0, 0)))
-    dg0, dg1 = lstm2_bwd_chain_padded(
-        packed, keep_pad, dys, dh_final,
-        params[0]["w_hh"], params[1]["w_hh"], params[1]["w_ih"],
-        t_len, interpret=interpret,
-    )
 
     x_pad = x_tm
     if t_pad != t_len:
@@ -248,6 +282,18 @@ def _bwd_impl_res2(saved, dys, dh_final):
     # accumulation (weight grads stay f32).  x is cast to the stream dtype
     # so the dW_ih0 contraction doesn't force a 3-pass mixed-precision dot.
     x_pad = x_pad.astype(packed.dtype)
+
+    if remat:
+        dg0, dg1 = lstm2_bwd_chain_remat(
+            packed, keep_pad, x_pad, x1, h0p, h1p, dys, dh_final,
+            params[0], params[1], t_len, interpret=interpret,
+        )
+    else:
+        dg0, dg1 = lstm2_bwd_chain_padded(
+            packed, keep_pad, dys, dh_final,
+            params[0]["w_hh"], params[1]["w_hh"], params[1]["w_ih"],
+            t_len, interpret=interpret,
+        )
 
     def flat(a):
         return a.reshape(t_pad * batch, -1)

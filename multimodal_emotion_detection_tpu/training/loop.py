@@ -138,10 +138,15 @@ class Trainer:
             set_bwd_kernel_mode(mode)
             from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
                 set_res2_dtype,
+                set_res2_remat,
             )
 
             set_res2_dtype(
                 getattr(cfg.runtime, "lstm_residual_dtype", "float32")
+            )
+            set_res2_remat(
+                "on" if getattr(cfg.runtime, "lstm_remat_gates", False)
+                else "off"
             )
             # the GSPMD-partitioned EVAL forward has the same lowering
             # constraint for the inference kernel

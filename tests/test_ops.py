@@ -1112,6 +1112,68 @@ def test_lstm_residual_bf16_streams_gradient_envelope():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
 
+def test_lstm_gate_remat_v3_path_matches_scan():
+    """Gate-remat (v3) kernel pair: the forward stores only [c0p|c1p] and
+    the backward recomputes the gate pre-activations in-kernel from the
+    streamed h_prev/x series.  Gradients must match the XLA-scan custom
+    backward to matmul rounding, for BOTH fused_lstm (sequence cotangent,
+    pad-exercising T) and fused_lstm_final (dys-free flagship path)."""
+    import multimodal_emotion_detection_tpu.ops.lstm_vjp as lv
+
+    b, t, d, h = 8, 21, 12, 128  # t_pad = 24: pad rows exercised
+    ks = jax.random.split(jax.random.PRNGKey(11), 8)
+    x = jax.random.normal(ks[0], (b, t, d))
+    keep = (jax.random.uniform(ks[1], (b, t, 1, h)) > 0.3).astype(jnp.float32)
+    params = tuple(
+        {
+            "w_ih": 0.3 * jax.random.normal(
+                ks[2 + 3 * l], (d if l == 0 else h, 4 * h)),
+            "w_hh": 0.3 * jax.random.normal(ks[3 + 3 * l], (h, 4 * h)),
+            "b": 0.1 * jax.random.normal(ks[4 + 3 * l], (4 * h,)),
+        }
+        for l in range(2)
+    )
+    assert lv._res2_ok(jnp.swapaxes(x, 0, 1), params, interpret=True)
+
+    def loss_seq(x, keep, params):
+        ys, h_final = lv.fused_lstm(x, keep, params)
+        return jnp.sum(ys * jnp.cos(ys)) + 2.0 * jnp.sum(h_final**2)
+
+    def loss_final(x, keep, params):
+        hf = lv.fused_lstm_final(x, keep, params)
+        return jnp.sum(hf * jnp.sin(hf))
+
+    for loss in (loss_seq, loss_final):
+        val_and_grad = jax.value_and_grad(loss, argnums=(0, 2))
+
+        prev_f = lv.set_fwd_kernel_mode("off")
+        prev_b = lv.set_bwd_kernel_mode("off")
+        try:
+            v_scan, g_scan = jax.jit(val_and_grad)(x, keep, params)
+        finally:
+            lv.set_fwd_kernel_mode(prev_f)
+            lv.set_bwd_kernel_mode(prev_b)
+
+        prev_f = lv.set_fwd_kernel_mode("interpret")
+        prev_b = lv.set_bwd_kernel_mode("interpret")
+        prev_r = lv.set_res2_remat("on")
+        try:
+            assert lv._res3_ok(jnp.swapaxes(x, 0, 1), params,
+                               interpret=True)
+            v_k, g_k = jax.jit(val_and_grad)(x, keep, params)
+        finally:
+            lv.set_fwd_kernel_mode(prev_f)
+            lv.set_bwd_kernel_mode(prev_b)
+            lv.set_res2_remat(prev_r)
+
+        np.testing.assert_allclose(float(v_k), float(v_scan),
+                                   rtol=2e-5, atol=2e-5)
+        for a, b_ in zip(jax.tree_util.tree_leaves(g_scan),
+                         jax.tree_util.tree_leaves(g_k)):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       rtol=5e-5, atol=5e-5)
+
+
 def _gru_test_params(ks, d, h):
     return tuple(
         {
