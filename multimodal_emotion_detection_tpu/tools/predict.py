@@ -36,6 +36,15 @@ def parse_args(argv=None):
     parser.add_argument("--mc-dropout", type=int, default=0)
     parser.add_argument("--missing", default=None,
                         help="comma-separated modality indices to KEEP")
+    parser.add_argument("--quantize-weights", default="none",
+                        choices=["none", "int8", "int8-bf16", "bfloat16"],
+                        help="round-trip params through the serving "
+                             "quantization before eval (accuracy A/B)")
+    parser.add_argument("--quantize-min-size", type=int, default=None,
+                        help="smallest leaf (elements) to quantize")
+    parser.add_argument("--quantized-artifact", default=None,
+                        help="load params from a tools.quantize artifact "
+                             "instead of the checkpoint's params")
     parser.add_argument("--out", default="./predictions")
     parser.add_argument("overrides", nargs="*")
     return parser.parse_args(argv)
@@ -111,6 +120,28 @@ def main(argv=None):
     state, meta = restore_checkpoint(Path(args.checkpoint), template)
     print(f"Restored {args.checkpoint} (meta: {meta})")
 
+    if args.quantized_artifact is not None:
+        from multimodal_emotion_detection_tpu.utils.quantize import (
+            load_quantized,
+        )
+
+        qparams, qmeta = load_quantized(args.quantized_artifact)
+        state = state.replace(params=qparams)
+        print(f"Loaded int8 serving artifact {args.quantized_artifact} "
+              f"(meta: {qmeta})")
+    elif args.quantize_weights != "none":
+        from multimodal_emotion_detection_tpu.utils.quantize import (
+            DEFAULT_MIN_SIZE,
+            quantize_params_for_eval,
+        )
+
+        state = state.replace(
+            params=quantize_params_for_eval(
+                state.params, args.quantize_weights,
+                min_size=(DEFAULT_MIN_SIZE if args.quantize_min_size is None
+                          else args.quantize_min_size)))
+        print(f"Quantized weights in-memory: {args.quantize_weights}")
+
     forward = make_forward_fn(model, loader.arrays.num_modalities)
     keep = (
         [int(i) for i in args.missing.split(",")]
@@ -152,6 +183,10 @@ def main(argv=None):
     metrics["split"] = args.split
     metrics["missing_pattern"] = keep
     metrics["mc_dropout_samples"] = args.mc_dropout
+    metrics["quantize_weights"] = (
+        "int8-artifact" if args.quantized_artifact is not None
+        else args.quantize_weights
+    )
     (out_dir / "metrics.json").write_text(json.dumps(metrics, indent=2))
     print(json.dumps(metrics, indent=2))
     print(f"Wrote predictions to {out_dir}")
