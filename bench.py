@@ -317,6 +317,53 @@ def _install_watchdog(seconds: int) -> None:
     signal.alarm(seconds)
 
 
+def _serving_latency_ms(batch: int = 1, k: int = 50) -> float:
+    """Steady-state serving latency: ms per forward, k one-dispatch
+    microbatches (raw 48k waveform -> in-graph Pallas log-mel -> model)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodal_emotion_detection_tpu.config import (
+        Config,
+        apply_overrides,
+    )
+    from multimodal_emotion_detection_tpu.models.classifier import (
+        classifier_from_config,
+    )
+    from multimodal_emotion_detection_tpu.training.steps import (
+        make_batched_forward_fn,
+    )
+
+    cfg = Config()
+    apply_overrides(cfg, [
+        f"dataset.batch_size={batch}",
+        "model.encoders.video.input_dim=4096",
+    ])
+    cfg.model.frontend.audio = "logmel"
+    model = classifier_from_config(cfg)
+    rng = np.random.RandomState(0)
+    feats = {
+        "audio": jnp.asarray(rng.randn(batch, 48000, 1), jnp.float32),
+        "video": jnp.asarray(rng.rand(batch, 24, 4096).astype(np.float32)),
+    }
+    params = dict(jax.jit(model.init)(jax.random.PRNGKey(0), feats)).pop(
+        "params")
+    feats_many = {m: jnp.broadcast_to(a[None], (k,) + a.shape)
+                  for m, a in feats.items()}
+    fwd_many = make_batched_forward_fn(model, 2)
+    for _ in range(3):
+        np.asarray(fwd_many(params, {}, feats_many))
+    best = float("inf")
+    for _ in range(10):
+        t0 = time.perf_counter()
+        np.asarray(fwd_many(params, {}, feats_many))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3 / k
+
+
 def main():
     from multimodal_emotion_detection_tpu.utils.runtime import setup_jax
 
@@ -421,6 +468,15 @@ def main():
                                big=True)
     except Exception:
         big_peak_cps = None
+    # serving: device-true batch-1 latency (K=50 microbatched forwards in
+    # ONE dispatch — make_batched_forward_fn; single-dispatch latency on
+    # the tunneled chip is RTT-dominated).  Raw features in: the 48k
+    # waveform runs through the in-graph Pallas log-mel frontend
+    # (benchmarks/serving2_tpu.json for the full b-grid + int8 legs)
+    try:
+        serving_b1_ms = _serving_latency_ms(batch=1, k=50)
+    except Exception:
+        serving_b1_ms = None
     fast_pallas = _pallas_subprocess(batch)
 
     candidates = {"logmel_xla": fast_xla}
@@ -532,6 +588,10 @@ def main():
             round(m_big_peak["mfu"], 4) if m_big_peak is not None else None
         ),
         "mfu_baseline_raw": round(m_base["mfu"], 4),
+        "serving_b1_latency_ms": (
+            # steady-state ms/forward, raw waveform in (serving2_tpu.json)
+            round(serving_b1_ms, 4) if serving_b1_ms is not None else None
+        ),
         "peak_tflops_bf16": round(peak / 1e12, 1),
         "platform": platform,
         "batch_size": batch,
