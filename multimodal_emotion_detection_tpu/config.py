@@ -234,8 +234,12 @@ class RuntimeConfig:
     # (v3, benchmarks/r3t): the forward stores only the c_prev series and
     # the backward recomputes the gate pre-activations in-kernel from the
     # streamed h_prev/x series — ~45% less kernel-pair HBM traffic at f32
-    # for three extra small dots per reverse step.  Gradients match the
-    # stored-gates path to matmul rounding (~1e-7 rel f32).
+    # for three extra small dots per reverse step.  MEASURED SLOWER on
+    # chip (ships off; kept for re-tuning on other geometries).  On-chip
+    # gradients differ from the stored-gates path at the recurrence's
+    # precision-chaos scale (max rel 0.08 at T=372, r3t — same envelope
+    # as any cross-formulation change); exact matmul-rounding parity
+    # (~1e-7) holds only in interpret mode / CPU.
     lstm_remat_gates: bool = False
     # Checkpoint serialization: 'auto' (orbax under a multi-device mesh —
     # sharding-preserving, restore-reshard capable — msgpack otherwise) |

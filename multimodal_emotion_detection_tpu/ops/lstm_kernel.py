@@ -2122,9 +2122,12 @@ def lstm2_bwd_chain_padded(
 #   g0 = x @ w_ih0 + b0 + h0_prev @ w_hh0        (two extra dots)
 #   g1 = [x1|h1_prev] @ [w_ih1;w_hh1] + b1       (one extra dot)
 # The recomputation is the SAME f32 expression the forward evaluated, so
-# gradients match the stored-gates path to matmul-rounding (~1e-7 rel in
-# f32; in bf16-residual mode the recompute reads bf16-rounded h/x series —
-# the same approximation class as v2's bf16-rounded gates).
+# in interpret mode gradients match the stored-gates path to matmul
+# rounding (~1e-7 rel).  ON CHIP the recomputed dots tile differently and
+# the reverse chain amplifies the seed difference to the recurrence's
+# precision-chaos scale (max rel 0.08 at T=372, benchmarks/r3t_tpu.json —
+# the same envelope as any cross-formulation change, docs/KERNELS.md
+# "Numerics").  r3t measured the pair SLOWER end-to-end; ships off.
 # ---------------------------------------------------------------------------
 
 
@@ -2344,8 +2347,9 @@ def bwd_remat_kernel_supported(batch: int, t_len: int, h_dim: int,
     g4 = 4 * h_dim
     d_pad = ((d_in + 127) // 128) * 128  # lane padding in VMEM
     vmem = (
-        # streams: pk 2H + keep/x1/h0p/h1p 4H + x + dg out 8H (f32 worst)
-        2 * chunk * tile * (6 * h_dim + d_pad + 2 * g4) * 4
+        # streams: pk 2H + keep/x1/h0p/h1p 4H + dys (worst case, counted
+        # unconditionally like the v2 twin) + x + dg out 8H (f32 worst)
+        2 * chunk * tile * (7 * h_dim + d_pad + 2 * g4) * 4
         # weights: 3 transposed (4H,H) + w_ih0 (D,4H) + w_hh0 + w_xh1 (2H,4H)
         + (3 * g4 * h_dim + d_pad * g4 + h_dim * g4 + 2 * h_dim * g4) * 4
         + 4 * tile * h_dim * 4  # carry state

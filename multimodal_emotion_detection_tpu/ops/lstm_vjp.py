@@ -169,7 +169,9 @@ def set_res2_dtype(dtype: str) -> str:
 # h_prev/x series the contractions need anyway) and the backward kernel
 # recomputes the gate pre-activations from the streamed series and the
 # weights — ~45% less kernel-pair HBM traffic at f32 for three extra
-# small dots per reverse step (docs/KERNELS.md "gate remat").
+# small dots per reverse step.  Measured SLOWER on chip (r3t: the
+# post-v2 reverse walk is serial-latency-bound) — ships off; see
+# docs/KERNELS.md "gate rematerialization" for the numerics contract.
 _RES2_REMAT = "off"  # 'on' | 'off'
 
 

@@ -64,21 +64,14 @@ def main(argv=None):
     setup_from_config(config)
 
     import jax
-    import jax.numpy as jnp
 
-    from multimodal_emotion_detection_tpu.data.loader import create_dataloaders
     from multimodal_emotion_detection_tpu.data.masking import (
         simulate_missing_modalities,
     )
-    from multimodal_emotion_detection_tpu.models.classifier import (
-        classifier_from_config,
+    from multimodal_emotion_detection_tpu.tools._restore import (
+        restore_for_eval,
     )
-    from multimodal_emotion_detection_tpu.training.checkpoints import (
-        restore_checkpoint,
-    )
-    from multimodal_emotion_detection_tpu.training.optim import build_optimizer
     from multimodal_emotion_detection_tpu.training.steps import (
-        create_train_state,
         make_forward_fn,
     )
     from multimodal_emotion_detection_tpu.uncertainty.calibration import (
@@ -88,36 +81,9 @@ def main(argv=None):
         mc_dropout_predict,
     )
 
-    loaders = dict(zip(
-        ("train", "val", "test"),
-        create_dataloaders(
-            dataset_name=config.dataset.name,
-            data_dir=config.dataset.data_dir,
-            modalities=config.dataset.modalities,
-            batch_size=config.dataset.batch_size,
-            seed=config.seed,
-            num_samples=config.dataset.num_samples,
-            num_samples_eval=config.dataset.num_samples_eval,
-            num_classes=config.dataset.num_classes,
-            modality_dim=config.dataset.modality_dim,
-            sequence_length=config.dataset.sequence_length,
-        ),
-    ))
+    model, state, meta, loaders = restore_for_eval(
+        config, args.checkpoint, split=args.split)
     loader = loaders[args.split]
-
-    model = classifier_from_config(config)
-    tx, _ = build_optimizer(config.training, steps_per_epoch=max(1, len(loader)))
-    feats_all, labels_all = loader.device_arrays()
-    # splits smaller than batch_size yield short arrays: size the init
-    # template to what a[:b] actually returns or init/mask shapes diverge
-    b = min(loader.batch_size, loader.num_samples)
-    sample = {m: a[:b] for m, a in feats_all.items()}
-    template = create_train_state(
-        model, tx, sample,
-        jnp.ones((b, loader.arrays.num_modalities), jnp.float32),
-        jax.random.PRNGKey(config.seed),
-    )
-    state, meta = restore_checkpoint(Path(args.checkpoint), template)
     print(f"Restored {args.checkpoint} (meta: {meta})")
 
     if args.quantized_artifact is not None:

@@ -22,7 +22,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-from pathlib import Path
 
 
 def parse_args(argv=None):
@@ -49,53 +48,15 @@ def main(argv=None):
     config.model.frontend.cache = False
     setup_from_config(config)
 
-    import jax
-    import jax.numpy as jnp
-
-    from multimodal_emotion_detection_tpu.data.loader import (
-        create_dataloaders,
-    )
-    from multimodal_emotion_detection_tpu.models.classifier import (
-        classifier_from_config,
-    )
-    from multimodal_emotion_detection_tpu.training.checkpoints import (
-        restore_checkpoint,
-    )
-    from multimodal_emotion_detection_tpu.training.optim import (
-        build_optimizer,
-    )
-    from multimodal_emotion_detection_tpu.training.steps import (
-        create_train_state,
+    from multimodal_emotion_detection_tpu.tools._restore import (
+        restore_for_eval,
     )
     from multimodal_emotion_detection_tpu.utils.quantize import (
         DEFAULT_MIN_SIZE,
         save_quantized,
     )
 
-    loaders = create_dataloaders(
-        dataset_name=config.dataset.name,
-        data_dir=config.dataset.data_dir,
-        modalities=config.dataset.modalities,
-        batch_size=config.dataset.batch_size,
-        seed=config.seed,
-        num_samples=config.dataset.num_samples,
-        num_samples_eval=config.dataset.num_samples_eval,
-        num_classes=config.dataset.num_classes,
-        modality_dim=config.dataset.modality_dim,
-        sequence_length=config.dataset.sequence_length,
-    )
-    loader = loaders[2]
-    model = classifier_from_config(config)
-    tx, _ = build_optimizer(config.training, steps_per_epoch=1)
-    feats_all, _ = loader.device_arrays()
-    b = min(loader.batch_size, loader.num_samples)
-    sample = {m: a[:b] for m, a in feats_all.items()}
-    template = create_train_state(
-        model, tx, sample,
-        jnp.ones((b, loader.arrays.num_modalities), jnp.float32),
-        jax.random.PRNGKey(config.seed),
-    )
-    state, meta = restore_checkpoint(Path(args.checkpoint), template)
+    _, state, meta, _ = restore_for_eval(config, args.checkpoint)
 
     min_size = DEFAULT_MIN_SIZE if args.min_size is None else args.min_size
     stats = save_quantized(args.out, state.params, meta=meta,

@@ -124,6 +124,8 @@ def main(argv=None):
         make_batched_forward_fn,
     )
 
+    if not 0.0 < args.smooth <= 1.0:
+        raise SystemExit(f"--smooth must be in (0, 1], got {args.smooth}")
     streams = {m: np.load(f) for m, f in
                _parse_kv(args.input, str).items()}
     expected = set(config.dataset.modalities)
@@ -133,9 +135,19 @@ def main(argv=None):
             f"configured modalities {sorted(expected)}")
     windows = _parse_kv(args.window, int)
     hops = _parse_kv(args.hop, int)
+    for name, kv in (("--window", windows), ("--hop", hops)):
+        unknown = set(kv) - set(streams)
+        if unknown:
+            raise SystemExit(f"{name} names {sorted(unknown)} have no "
+                             f"matching --input stream")
+    # default window: the model's native clip length.  Synthetic-format
+    # models use dataset.sequence_length for every modality; RAVDESS-
+    # format data uses the pipeline's clip constants per modality name.
+    synthetic = config.dataset.name == "synthetic"
     for m in streams:
         windows.setdefault(
-            m, _NATIVE_WINDOW.get(m, config.dataset.sequence_length))
+            m, config.dataset.sequence_length if synthetic
+            else _NATIVE_WINDOW.get(m, config.dataset.sequence_length))
         hops.setdefault(m, max(1, windows[m] // 3))
 
     # cut every modality into the same number of windows

@@ -44,6 +44,13 @@ def _dequantize_leaf(entry: Dict[str, np.ndarray], dtype) -> jnp.ndarray:
     return jnp.asarray(q * np.asarray(entry["scale"], np.float32), dtype)
 
 
+def _is_float_dtype(dtype) -> bool:
+    # jnp.issubdtype (not np.) so ml_dtypes leaves — bfloat16 params from
+    # a bf16 cast or checkpoint — quantize instead of silently passing
+    # through
+    return jnp.issubdtype(dtype, jnp.floating)
+
+
 def quantize_tree(
     params: Any, min_size: int = DEFAULT_MIN_SIZE
 ) -> Tuple[Any, Dict[str, int]]:
@@ -60,7 +67,8 @@ def quantize_tree(
         arr = np.asarray(leaf)
         before += arr.nbytes
         if (
-            np.issubdtype(arr.dtype, np.floating)
+            _is_float_dtype(leaf.dtype if hasattr(leaf, "dtype")
+                            else arr.dtype)
             and arr.ndim >= 2
             and arr.size >= min_size
         ):
@@ -102,7 +110,7 @@ def quantize_params_for_eval(
     if mode == "bfloat16":
         return jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
-            if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+            if _is_float_dtype(jnp.asarray(a).dtype) else a,
             params,
         )
     if mode in ("int8", "int8-bf16"):
