@@ -830,16 +830,30 @@ def test_multiprocess_distributed_training(tmp_path):
         str(Path(__file__).resolve().parents[1])
         + os.pathsep + env.get("PYTHONPATH", "")
     )
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), str(i), "2", str(port),
-             str(workdir)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    def launch(port_):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), "2", str(port_),
+                 str(workdir)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        return procs, [p.communicate(timeout=900)[0] for p in procs]
+
+    procs, outs = launch(port)
+    if any(p.returncode != 0 for p in procs) and all(
+        "Barrier timed out" in o or "DEADLINE_EXCEEDED" in o for o in outs
+        if o
+    ):
+        # coordination-service shutdown barrier is timing-sensitive under
+        # heavy machine load (observed flaking when the suite shares the
+        # box with an on-chip bench); one retry on a fresh port
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs, outs = launch(port)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
