@@ -426,6 +426,24 @@ def main():
             jax.config.update("jax_default_prng_impl", "threefry2x32")
     except Exception:
         fast_block_cps = None
+    # 50-epoch val blocks (400 steps per dispatch): r3x showed the
+    # remaining headline-vs-device-floor gap is per-dispatch overhead —
+    # vblock50 runs 0.84 ms/step against the 0.78 ms device while-body
+    # (r3w).  Same semantics as any Lightning check_val_every_n_epoch
+    # choice; the reference-parity number above keeps per-epoch val.
+    try:
+        import multimodal_emotion_detection_tpu.ops.lstm_vjp as _lv
+
+        jax.config.update("jax_default_prng_impl", "rbg")
+        _lv.set_res2_dtype("bfloat16")
+        try:
+            fast_block50_cps = run_one("logmel_cached", batch, n_rows,
+                                       warmup=2, iters=2, block_epochs=50)
+        finally:
+            _lv.set_res2_dtype("float32")
+            jax.config.update("jax_default_prng_impl", "threefry2x32")
+    except Exception:
+        fast_block50_cps = None
     # GRU family point with the residual-native v2 pair + fast knobs
     # (r3l_tpu.json: legacy ~15.9k -> 28.2-29.6k with bf16 residuals)
     try:
@@ -493,6 +511,8 @@ def main():
         # check_val_every_n_epoch): same per-step trajectory, val at
         # 10-epoch boundaries, one dispatch per block
         candidates["logmel_cached_fast_vblock"] = fast_block_cps
+    if fast_block50_cps is not None:
+        candidates["logmel_cached_fast_vblock50"] = fast_block50_cps
     best_name = max(candidates, key=candidates.get)
     value = candidates[best_name]
     # the fast point shares the cached-frontend FLOPs/attainable model
@@ -557,6 +577,12 @@ def main():
         "flagship_fast_vblock_clips_per_sec": (
             # + training.val_every_n_epochs=10 block driver (r3j_tpu.json)
             round(fast_block_cps, 2) if fast_block_cps is not None else None
+        ),
+        "flagship_fast_vblock50_clips_per_sec": (
+            # 50-epoch blocks: 400 steps/dispatch amortize the tunnel RTT
+            # to ~the 0.78 ms device floor (r3w decomposition, r3x A/B)
+            round(fast_block50_cps, 2)
+            if fast_block50_cps is not None else None
         ),
         "gru_fast_clips_per_sec": (
             # GRU family, residual-native v2 pair + rbg + bf16 residuals
