@@ -452,8 +452,10 @@ def main():
         jax.config.update("jax_default_prng_impl", "rbg")
         _lv.set_res2_dtype("bfloat16")
         try:
-            gru_cps = run_one("logmel_cached", batch, n_rows, warmup=3,
-                              iters=30, epoch_scan=True, encoder="gru")
+            # vblock50 driver like the headline leg (r3y: 46.7-46.9k vs
+            # 40.1k under per-epoch dispatch)
+            gru_cps = run_one("logmel_cached", batch, n_rows, warmup=2,
+                              iters=2, block_epochs=50, encoder="gru")
         finally:
             _lv.set_res2_dtype("float32")
             jax.config.update("jax_default_prng_impl", "threefry2x32")
