@@ -445,7 +445,8 @@ def main():
     except Exception:
         fast_block50_cps = None
     # GRU family point with the residual-native v2 pair + fast knobs
-    # (r3l_tpu.json: legacy ~15.9k -> 28.2-29.6k with bf16 residuals)
+    # under the vblock50 driver (r3y_tpu.json: 46.7-46.9k; the r3l
+    # kernel-pair lineage measured 28.2-29.6k under per-epoch dispatch)
     try:
         import multimodal_emotion_detection_tpu.ops.lstm_vjp as _lv
 
@@ -587,8 +588,8 @@ def main():
             if fast_block50_cps is not None else None
         ),
         "gru_fast_clips_per_sec": (
-            # GRU family, residual-native v2 pair + rbg + bf16 residuals
-            # (r3l_tpu.json)
+            # GRU family: residual-native v2 pair + rbg + bf16 residuals
+            # (r3l) under the vblock50 driver (r3y_tpu.json)
             round(gru_cps, 2) if gru_cps is not None else None
         ),
         "peak_clips_per_sec_b256_bf16": (

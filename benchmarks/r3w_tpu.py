@@ -97,8 +97,11 @@ def main():
     paths = glob.glob(f"{tdir}/plugins/profile/*/*.trace.json.gz")
     with gzip.open(sorted(paths)[-1], "rt") as f:
         trace = json.load(f)
-    # keep only device-lane events (drop python/runtime rows) by name
-    # heuristics: XLA op names carry dots/fusion/while prefixes
+    # NO filtering: host/runtime rows and umbrella events (the jit entry,
+    # the while body) appear alongside their children, so rows must be
+    # read hierarchically — the while.N row IS the device step total; the
+    # rnn/fusion rows are its children and sum to (at most) it; rows above
+    # the while are host-side wrappers of the same time.
     by_name = defaultdict(float)
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") == "X" and "dur" in ev:

@@ -65,6 +65,8 @@ def _parse_kv(pairs, cast):
         k, _, v = p.partition("=")
         if not _:
             raise SystemExit(f"--input/--window/--hop need name=value: {p}")
+        if k in out:
+            raise SystemExit(f"duplicate key {k!r} in {p!r}")
         out[k] = cast(v)
     return out
 
@@ -149,6 +151,10 @@ def main(argv=None):
             m, config.dataset.sequence_length if synthetic
             else _NATIVE_WINDOW.get(m, config.dataset.sequence_length))
         hops.setdefault(m, max(1, windows[m] // 3))
+        if windows[m] <= 0 or hops[m] <= 0:
+            raise SystemExit(
+                f"window/hop for {m!r} must be positive "
+                f"(got window={windows[m]}, hop={hops[m]})")
 
     # cut every modality into the same number of windows
     cut = {m: sliding_windows(np.asarray(a, np.float32), windows[m], hops[m])

@@ -65,10 +65,13 @@ def quantize_tree(
     out, before, after = [], 0, 0
     for leaf in flat:
         arr = np.asarray(leaf)
-        before += arr.nbytes
+        is_float = _is_float_dtype(leaf.dtype if hasattr(leaf, "dtype")
+                                   else arr.dtype)
+        # "bytes_f32" is the f32-EQUIVALENT size, so the compression
+        # ratio stays honestly labeled even for bf16 input checkpoints
+        before += 4 * arr.size if is_float else arr.nbytes
         if (
-            _is_float_dtype(leaf.dtype if hasattr(leaf, "dtype")
-                            else arr.dtype)
+            is_float
             and arr.ndim >= 2
             and arr.size >= min_size
         ):
@@ -110,7 +113,8 @@ def quantize_params_for_eval(
     if mode == "bfloat16":
         return jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
-            if _is_float_dtype(jnp.asarray(a).dtype) else a,
+            if _is_float_dtype(getattr(a, "dtype", np.asarray(a).dtype))
+            else jnp.asarray(a),
             params,
         )
     if mode in ("int8", "int8-bf16"):

@@ -843,9 +843,10 @@ def test_multiprocess_distributed_training(tmp_path):
         return procs, [p.communicate(timeout=900)[0] for p in procs]
 
     procs, outs = launch(port)
-    if any(p.returncode != 0 for p in procs) and all(
-        "Barrier timed out" in o or "DEADLINE_EXCEEDED" in o for o in outs
-        if o
+    failed_outs = [o for p, o in zip(procs, outs) if p.returncode != 0]
+    if failed_outs and all(
+        "Barrier timed out" in o or "DEADLINE_EXCEEDED" in o
+        for o in failed_outs
     ):
         # coordination-service shutdown barrier is timing-sensitive under
         # heavy machine load (observed flaking when the suite shares the
