@@ -73,12 +73,13 @@ def _bench_config(frontend: str, batch: int, compute_dtype: str = "float32",
 
 def _train_flops_per_clip(frontend: str, batch: int,
                           compute_dtype: str = "float32",
-                          big: bool = False) -> float:
+                          big: bool = False,
+                          encoder: str = "lstm") -> float:
     from multimodal_emotion_detection_tpu.utils.flops import (
         classifier_flops_per_clip,
     )
 
-    cfg = _bench_config(frontend, batch, compute_dtype, big)
+    cfg = _bench_config(frontend, batch, compute_dtype, big, encoder)
     return classifier_flops_per_clip(cfg)["train"]
 
 
@@ -557,6 +558,11 @@ def main():
         if big_peak_cps is not None else None
     )
     m_base = mfu(base_cps, _train_flops_per_clip("raw", batch), peak)
+    m_gru = (
+        mfu(gru_cps, _train_flops_per_clip("logmel_cached", batch,
+                                           encoder="gru"), peak)
+        if gru_cps is not None else None
+    )
 
     result = {
         "metric": "ravdess_train_clips_per_sec_per_chip",
@@ -617,6 +623,9 @@ def main():
             round(m_big_peak["mfu"], 4) if m_big_peak is not None else None
         ),
         "mfu_baseline_raw": round(m_base["mfu"], 4),
+        "mfu_gru_fast": (
+            round(m_gru["mfu"], 4) if m_gru is not None else None
+        ),
         "serving_b1_latency_ms": (
             # steady-state ms/forward, raw waveform in (serving2_tpu.json)
             round(serving_b1_ms, 4) if serving_b1_ms is not None else None
