@@ -59,6 +59,22 @@ def test_quantize_roundtrip_error_bound():
     assert stats["bytes_quantized"] < 0.45 * stats["bytes_f32"]
 
 
+def test_quantize_bf16_leaves():
+    """bfloat16 param leaves must quantize (ml_dtypes is not an
+    np.floating subtype — the gate uses jnp.issubdtype), and the
+    bytes_f32 stat reports the f32-EQUIVALENT size so the compression
+    label stays honest for bf16 checkpoints."""
+    w = jnp.asarray(np.linspace(-2, 2, 64 * 64).reshape(64, 64),
+                    jnp.bfloat16)
+    qtree, stats = quantize_tree({"k": w}, min_size=64)
+    assert "::int8::" in qtree["k"], "bf16 leaf did not quantize"
+    assert stats["bytes_f32"] == 64 * 64 * 4  # f32-equivalent, not nbytes
+    deq = dequantize_tree(qtree)["k"]
+    a = np.asarray(w, np.float32)
+    bound = np.max(np.abs(a), axis=0) / 254.0 + 1e-9
+    assert np.all(np.abs(a - np.asarray(deq)) <= bound)
+
+
 def test_quantize_modes_and_artifact_roundtrip(tmp_path):
     params = _params_tree(jax.random.PRNGKey(1))
 
