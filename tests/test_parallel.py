@@ -830,11 +830,11 @@ def test_multiprocess_distributed_training(tmp_path):
         str(Path(__file__).resolve().parents[1])
         + os.pathsep + env.get("PYTHONPATH", "")
     )
-    def launch(port_):
+    def launch(port_, wd):
         procs = [
             subprocess.Popen(
                 [sys.executable, str(worker), str(i), "2", str(port_),
-                 str(workdir)],
+                 str(wd)],
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                 text=True,
             )
@@ -842,7 +842,7 @@ def test_multiprocess_distributed_training(tmp_path):
         ]
         return procs, [p.communicate(timeout=900)[0] for p in procs]
 
-    procs, outs = launch(port)
+    procs, outs = launch(port, workdir)
     failed_outs = [o for p, o in zip(procs, outs) if p.returncode != 0]
     if failed_outs and all(
         "Barrier timed out" in o or "DEADLINE_EXCEEDED" in o
@@ -850,11 +850,16 @@ def test_multiprocess_distributed_training(tmp_path):
     ):
         # coordination-service shutdown barrier is timing-sensitive under
         # heavy machine load (observed flaking when the suite shares the
-        # box with an on-chip bench); one retry on a fresh port
+        # box with an on-chip bench); one retry on a fresh port AND a
+        # fresh workdir — the failed attempt may have written CSV/ckpt
+        # artifacts before its shutdown barrier timed out, which would
+        # break the artifact-count asserts below
         with socket.socket() as s:
             s.bind(("localhost", 0))
             port = s.getsockname()[1]
-        procs, outs = launch(port)
+        workdir = tmp_path / "mp_retry"
+        workdir.mkdir()
+        procs, outs = launch(port, workdir)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
