@@ -105,6 +105,14 @@ def main() -> None:
             "backend": trainer.checkpoints.backend,
             "process_info": info,
         }))
+    # explicit cross-process sync before interpreter exit: teardown time
+    # varies under load (orbax async threads, GC), and the atexit
+    # distributed-shutdown barrier times out if one process reaches it
+    # seconds after the other — observed as DEADLINE_EXCEEDED flakes when
+    # the suite shares the machine with a bench run
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("worker-done")
     print(f"worker {process_id} OK", flush=True)
 
 
