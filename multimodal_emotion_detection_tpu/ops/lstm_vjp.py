@@ -447,7 +447,88 @@ def _bwd_dgates(res, keep_tm, params, dys, dh_final):
             )
     if dys is None:
         dys = jnp.zeros((t_len, batch, h_dim), dh_final.dtype)
+    if (
+        _BWD_INPLACE != "off"
+        and g0_s.dtype == dys.dtype == dh_final.dtype
+    ):
+        return _bwd_scan_inplace(res, keep_tm, params, dys, dh_final)
     return _bwd_scan(res, keep_tm, params, dys, dh_final)
+
+
+# In-place reverse-walk storage, read at TRACE time.  'auto' overwrites
+# the forward gate stacks with the dgates series instead of letting
+# lax.scan allocate fresh ys buffers; 'off' keeps the ys-emitting scan
+# (benchmark A/B + fallback).
+_BWD_INPLACE = "auto"
+
+
+def set_bwd_inplace(mode: str) -> str:
+    global _BWD_INPLACE
+    prev = _BWD_INPLACE
+    assert mode in ("auto", "off")
+    _BWD_INPLACE = mode
+    return prev
+
+
+def _bwd_scan_inplace(res, keep_tm, params, dys, dh_final):
+    """Reverse walk writing each step's dgates over the same slot of the
+    (dead-after-read) forward gate stack, threaded as scan *carry*.
+
+    Same math as ``_bwd_scan``, different storage.  Motivation (r3z/r3aa,
+    big config b256 bf16): XLA zero-initializes every ``lax.scan`` ys
+    buffer with a materialized broadcast and never elides the fill even
+    though the loop fully overwrites it — six [372,256,2048] fills were
+    ~3.6 ms of the 39.1 ms step.  Reusing the gate stacks removes the
+    three backward fills and ~1.1 GB of live HBM.  In-place is safe:
+    iteration t reads g[t] before overwriting g[t], and later iterations
+    touch strictly smaller t.  Engages only when gate and cotangent
+    dtypes agree (the slot write would otherwise round the dgates into
+    the residual dtype).
+    """
+    n_layers = len(params)
+    w_ih_t = [p["w_ih"].T for p in params]
+    w_hh_t = [p["w_hh"].T for p in params]
+    t_len, batch = dys.shape[0], dys.shape[1]
+    h_dim = params[0]["w_hh"].shape[0]
+
+    g_bufs = tuple(r[0] for r in res)
+    c_prev_series = tuple(r[2] for r in res)
+
+    def step(carry, inp):
+        bufs, dstates = carry
+        c_t, keep_t, dy, t = inp
+        bufs = list(bufs)
+        dstates = list(dstates)
+        dx_up = None
+        for layer in reversed(range(n_layers)):
+            g = jax.lax.dynamic_slice_in_dim(bufs[layer], t, 1, axis=0)[0]
+            dh_l, dc_l = dstates[layer]
+            dh_t = dh_l
+            if layer == n_layers - 1:
+                dh_t = dh_t + dy
+            if dx_up is not None:
+                dh_t = dh_t + dx_up * keep_t[layer]
+            dgates, dc_prev = _cell_bwd(g, c_t[layer], dh_t, dc_l)
+            bufs[layer] = jax.lax.dynamic_update_slice_in_dim(
+                bufs[layer], dgates[None], t, axis=0
+            )
+            dstates[layer] = (dgates @ w_hh_t[layer], dc_prev)
+            dx_up = dgates @ w_ih_t[layer] if layer > 0 else None
+        return (tuple(bufs), tuple(dstates)), None
+
+    zeros = jnp.zeros((batch, h_dim), dys.dtype)
+    init_d = tuple(
+        (dh_final if layer == n_layers - 1 else zeros, zeros)
+        for layer in range(n_layers)
+    )
+    (bufs, _), _ = jax.lax.scan(
+        step,
+        (g_bufs, init_d),
+        (c_prev_series, keep_tm, dys, jnp.arange(t_len)),
+        reverse=True,
+        unroll=4,
+    )
+    return bufs
 
 
 def _bwd_scan(res, keep_tm, params, dys, dh_final):

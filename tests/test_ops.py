@@ -598,6 +598,55 @@ def test_lstm_bwd_chain_kernel_matches_xla_scan():
         )
 
 
+def test_lstm_bwd_inplace_matches_ys_scan():
+    """In-place reverse walk (dgates overwrite the forward gate stacks —
+    the r3aa zero-fill lever) is bitwise identical to the ys-emitting
+    scan, at the big config's layer count (3) on BOTH the sequence and
+    the final-hidden (dys-free) paths."""
+    from multimodal_emotion_detection_tpu.ops import lstm_vjp as lv
+
+    b, t, d, h, n_layers = 4, 13, 6, 8, 3
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 3 + 3 * n_layers)
+    x = jax.random.normal(ks[0], (b, t, d))
+    keep = (
+        jax.random.uniform(ks[1], (b, t, n_layers - 1, h)) > 0.3
+    ).astype(jnp.float32)
+    params = tuple(
+        {
+            "w_ih": 0.3
+            * jax.random.normal(ks[2 + 3 * l], (d if l == 0 else h, 4 * h)),
+            "w_hh": 0.3 * jax.random.normal(ks[3 + 3 * l], (h, 4 * h)),
+            "b": 0.1 * jax.random.normal(ks[4 + 3 * l], (4 * h,)),
+        }
+        for l in range(n_layers)
+    )
+
+    def loss_seq(x, keep, params):
+        ys, h_final = lv.fused_lstm(x, keep, params)
+        return jnp.sum(ys * jnp.cos(ys)) + 2.0 * jnp.sum(h_final**2)
+
+    def loss_final(x, keep, params):
+        return jnp.sum(lv.fused_lstm_final(x, keep, params) ** 2)
+
+    for loss in (loss_seq, loss_final):
+        grad_fn = jax.grad(loss, argnums=(0, 1, 2))
+        prev = lv.set_bwd_inplace("off")
+        try:
+            g_ys = jax.jit(grad_fn)(x, keep, params)
+        finally:
+            lv.set_bwd_inplace(prev)
+        prev = lv.set_bwd_inplace("auto")
+        try:
+            g_inplace = jax.jit(grad_fn)(x, keep, params)
+        finally:
+            lv.set_bwd_inplace(prev)
+        flat_a, _ = jax.tree_util.tree_flatten(g_ys)
+        flat_b, _ = jax.tree_util.tree_flatten(g_inplace)
+        for a, b_ in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
 def test_lstm_bwd_chain_kernel_batch_tiled():
     """Grid-tiled large batch (B=64 -> two 32-row tiles) == XLA scan."""
     from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
