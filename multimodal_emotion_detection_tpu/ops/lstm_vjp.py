@@ -409,52 +409,6 @@ def _bwd_fused2_pallas(res, keep_tm, params, dys, dh_final, interpret):
     return (dg0, dg1)
 
 
-def _bwd_dgates(res, keep_tm, params, dys, dh_final):
-    """Dispatch: fused 2-layer kernel > per-layer kernels > XLA scan.
-
-    ``dys`` may be None (structurally-zero sequence cotangent); only the
-    fused kernel exploits it — fallbacks materialize the zeros.
-    """
-    g0_s = res[0][0]
-    t_len, batch = g0_s.shape[0], g0_s.shape[1]
-    h_dim = params[0]["w_hh"].shape[0]
-    if _BWD_KERNEL_MODE != "off":
-        from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
-            bwd2_kernel_supported,
-            bwd_kernel_supported,
-        )
-
-        on_tpu = jax.default_backend() == "tpu"
-        interpret = _BWD_KERNEL_MODE == "interpret"
-        # residuals off the kernel/scan forward carry the compute dtype
-        f32_large = g0_s.dtype == jnp.float32
-        if (on_tpu or interpret) and len(params) == 2 and (
-            bwd2_kernel_supported(batch, t_len, h_dim,
-                                  allow_large=interpret,
-                                  f32_large=f32_large)
-        ):
-            return _bwd_fused2_pallas(
-                res, keep_tm, params, dys, dh_final, interpret
-            )
-        if dys is None:
-            dys = jnp.zeros((t_len, batch, h_dim), dh_final.dtype)
-        if (on_tpu or interpret) and bwd_kernel_supported(
-            batch, t_len, h_dim, allow_large=interpret,
-            f32_large=f32_large,
-        ):
-            return _bwd_layered_pallas(
-                res, keep_tm, params, dys, dh_final, interpret
-            )
-    if dys is None:
-        dys = jnp.zeros((t_len, batch, h_dim), dh_final.dtype)
-    if (
-        _BWD_INPLACE != "off"
-        and g0_s.dtype == dys.dtype == dh_final.dtype
-    ):
-        return _bwd_scan_inplace(res, keep_tm, params, dys, dh_final)
-    return _bwd_scan(res, keep_tm, params, dys, dh_final)
-
-
 # In-place reverse-walk storage, read at TRACE time.  'auto' overwrites
 # the forward gate stacks with the dgates series instead of letting
 # lax.scan allocate fresh ys buffers; 'off' keeps the ys-emitting scan
@@ -470,6 +424,55 @@ def set_bwd_inplace(mode: str) -> str:
     return prev
 
 
+def _bwd_dgates(res, keep_tm, params, dys, dh_final):
+    """Dispatch: fused 2-layer kernel > per-layer kernels > XLA scan.
+
+    ``dys`` may be None (structurally-zero sequence cotangent); only the
+    fused kernel exploits it — fallbacks materialize the zeros.
+    """
+    g0_s = res[0][0]
+    t_len, batch = g0_s.shape[0], g0_s.shape[1]
+    h_dim = params[0]["w_hh"].shape[0]
+    on_tpu = jax.default_backend() == "tpu"
+    interpret = _BWD_KERNEL_MODE == "interpret"
+    if _BWD_KERNEL_MODE != "off":
+        from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+            bwd2_kernel_supported,
+        )
+
+        # residuals off the kernel/scan forward carry the compute dtype
+        f32_large = g0_s.dtype == jnp.float32
+        if (on_tpu or interpret) and len(params) == 2 and (
+            bwd2_kernel_supported(batch, t_len, h_dim,
+                                  allow_large=interpret,
+                                  f32_large=f32_large)
+        ):
+            return _bwd_fused2_pallas(
+                res, keep_tm, params, dys, dh_final, interpret
+            )
+    if dys is None:
+        dys = jnp.zeros((t_len, batch, h_dim), dh_final.dtype)
+    if _BWD_KERNEL_MODE != "off":
+        from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+            bwd_kernel_supported,
+        )
+
+        f32_large = g0_s.dtype == jnp.float32
+        if (on_tpu or interpret) and bwd_kernel_supported(
+            batch, t_len, h_dim, allow_large=interpret,
+            f32_large=f32_large,
+        ):
+            return _bwd_layered_pallas(
+                res, keep_tm, params, dys, dh_final, interpret
+            )
+    if (
+        _BWD_INPLACE != "off"
+        and g0_s.dtype == dys.dtype == dh_final.dtype
+    ):
+        return _bwd_scan_inplace(res, keep_tm, params, dys, dh_final)
+    return _bwd_scan(res, keep_tm, params, dys, dh_final)
+
+
 def _bwd_scan_inplace(res, keep_tm, params, dys, dh_final):
     """Reverse walk writing each step's dgates over the same slot of the
     (dead-after-read) forward gate stack, threaded as scan *carry*.
@@ -478,8 +481,10 @@ def _bwd_scan_inplace(res, keep_tm, params, dys, dh_final):
     big config b256 bf16): XLA zero-initializes every ``lax.scan`` ys
     buffer with a materialized broadcast and never elides the fill even
     though the loop fully overwrites it — six [372,256,2048] fills were
-    ~3.6 ms of the 39.1 ms step.  Reusing the gate stacks removes the
-    three backward fills and ~1.1 GB of live HBM.  In-place is safe:
+    ~3.6 ms of the 39.1 ms step.  Reusing the gate stacks is expected to
+    remove the three backward fills (and their live HBM); see
+    benchmarks/r4a_tpu.json for the measured on-chip verdict per
+    geometry.  In-place is safe:
     iteration t reads g[t] before overwriting g[t], and later iterations
     touch strictly smaller t.  Engages only when gate and cotangent
     dtypes agree (the slot write would otherwise round the dgates into

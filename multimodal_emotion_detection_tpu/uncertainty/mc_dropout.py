@@ -10,42 +10,53 @@ matching the reference's "only dropout layers in train mode" semantics.
 
 from __future__ import annotations
 
+import weakref
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 # jitted forward per model instance (flax modules with dict attrs are not
-# hashable, so they cannot ride jit's static_argnums; close over instead)
-_FORWARD_CACHE: Dict[int, Any] = {}
+# hashable, so they cannot ride jit's static_argnums; close over instead).
+# Keyed by id(model) for lookup speed, but each entry carries a weakref to
+# the model it was built for: id() values are reused after GC, so a bare
+# id-keyed cache could serve a NEW model the stale jitted forward of a
+# dead one with a different architecture.  Dead entries are purged on
+# access, which also bounds the cache to live models.
+_FORWARD_CACHE: Dict[Tuple[int, int], Tuple[Any, Any]] = {}
 
 
 def _get_mc_forward(model, num_modalities: int):
+    dead = [k for k, (ref, _) in _FORWARD_CACHE.items() if ref() is None]
+    for k in dead:
+        del _FORWARD_CACHE[k]
     cache_key = (id(model), num_modalities)
-    if cache_key not in _FORWARD_CACHE:
+    hit = _FORWARD_CACHE.get(cache_key)
+    if hit is not None and hit[0]() is model:
+        return hit[1]
 
-        @jax.jit
-        def mc_forward(params, model_state, features, keys, mask=None):
-            if mask is None:
-                b = next(iter(features.values())).shape[0]
-                mask = jnp.ones((b, num_modalities), dtype=jnp.float32)
-            variables = {"params": params, **model_state}
+    @jax.jit
+    def mc_forward(params, model_state, features, keys, mask=None):
+        if mask is None:
+            b = next(iter(features.values())).shape[0]
+            mask = jnp.ones((b, num_modalities), dtype=jnp.float32)
+        variables = {"params": params, **model_state}
 
-            def single(key):
-                out = model.apply(
-                    variables,
-                    features,
-                    mask,
-                    deterministic=False,  # dropout ON
-                    bn_eval=True,  # BatchNorm stays on running averages
-                    rngs={"dropout": key},
-                )
-                return out[0] if isinstance(out, tuple) else out
+        def single(key):
+            out = model.apply(
+                variables,
+                features,
+                mask,
+                deterministic=False,  # dropout ON
+                bn_eval=True,  # BatchNorm stays on running averages
+                rngs={"dropout": key},
+            )
+            return out[0] if isinstance(out, tuple) else out
 
-            return jax.vmap(single)(keys)  # (S, B, C)
+        return jax.vmap(single)(keys)  # (S, B, C)
 
-        _FORWARD_CACHE[cache_key] = mc_forward
-    return _FORWARD_CACHE[cache_key]
+    _FORWARD_CACHE[cache_key] = (weakref.ref(model), mc_forward)
+    return mc_forward
 
 
 def mc_dropout_predict(
