@@ -318,9 +318,12 @@ def _install_watchdog(seconds: int) -> None:
     signal.alarm(seconds)
 
 
-def _serving_latency_ms(batch: int = 1, k: int = 50) -> float:
+def _serving_latency_ms(batch: int = 1, k: int = 50,
+                        encoder: str = "lstm") -> float:
     """Steady-state serving latency: ms per forward, k one-dispatch
-    microbatches (raw 48k waveform -> in-graph Pallas log-mel -> model)."""
+    microbatches (raw 48k waveform -> in-graph Pallas log-mel -> model).
+    ``encoder='gru'`` serves through the gru2_infer_pallas in-kernel
+    recurrence (round-4 item 4; the LSTM twin is lstm2_infer_pallas)."""
     import time
 
     import jax
@@ -339,10 +342,16 @@ def _serving_latency_ms(batch: int = 1, k: int = 50) -> float:
     )
 
     cfg = Config()
-    apply_overrides(cfg, [
+    overrides = [
         f"dataset.batch_size={batch}",
         "model.encoders.video.input_dim=4096",
-    ])
+        # serve through the in-kernel recurrence (lstm2/gru2_infer_pallas);
+        # build_encoder defaults it off for vmap-compat (ensembles)
+        "model.encoders.audio.inference_kernel=true",
+    ]
+    if encoder != "lstm":
+        overrides.append(f"model.encoders.audio.encoder_type={encoder}")
+    apply_overrides(cfg, overrides)
     cfg.model.frontend.audio = "logmel"
     model = classifier_from_config(cfg)
     rng = np.random.RandomState(0)
@@ -463,6 +472,21 @@ def main():
             jax.config.update("jax_default_prng_impl", "threefry2x32")
     except Exception:
         gru_cps = None
+    # transformer family point (b32 bf16, the family's best regime —
+    # r3u/r3v measured batch ANTI-scaling; the attention scores/AV
+    # matmuls run at head_dim/128 = 0.5 MXU occupancy independent of
+    # batch, so the honest anchor is attainable_mfu_transformer below)
+    try:
+        jax.config.update("jax_default_prng_impl", "rbg")
+        try:
+            transformer_cps = run_one(
+                "logmel_cached", batch, n_rows, warmup=2, iters=2,
+                block_epochs=50, compute_dtype="bfloat16",
+                encoder="transformer")
+        finally:
+            jax.config.update("jax_default_prng_impl", "threefry2x32")
+    except Exception:
+        transformer_cps = None
     # large-batch bf16 point (the round-2 peak regime; the b32 fast path
     # overtook it in round 3 — kept for the regime comparison)
     try:
@@ -475,15 +499,19 @@ def main():
     except Exception:
         peak_cps = None
     # like-for-like big config (reference sweep geometry: out 256 /
-    # hidden 512 / LSTM x3 — the model behind every BASELINE.md number)
+    # hidden 512 / LSTM x3 — the model behind every BASELINE.md number).
+    # Round 4: routes through the per-layer forward kernels + layered
+    # reverse chains (adaptive VMEM chunking at h512) — r4c measured
+    # +59% over the scans (5,460 clips/s, mfu 0.34, vs 3,441)
     try:
         big_cps = run_one("logmel_cached", batch, n_rows, warmup=2, iters=10,
                           epoch_scan=True, big=True)
     except Exception:
         big_cps = None
-    # big config at its throughput regime: b256 bf16 (kernels are parity
-    # at h512 — the scan forward is already MXU-bound there; bf16 doubles
-    # the matmul rate: benchmarks/r3d_tpu.json, +39% over f32)
+    # big config at its throughput regime: b256 bf16 (the per-layer
+    # kernel route is f32-gated at large batch, so this leg rides the XLA
+    # scans + the r4a in-place reverse-walk storage; bf16 doubles the
+    # matmul rate: benchmarks/r3d_tpu.json, +39% over f32)
     try:
         big_peak_cps = run_one("logmel_cached", 256, 256, warmup=2, iters=6,
                                compute_dtype="bfloat16", epoch_scan=True,
@@ -499,6 +527,13 @@ def main():
         serving_b1_ms = _serving_latency_ms(batch=1, k=50)
     except Exception:
         serving_b1_ms = None
+    # GRU serving config: the fastest training family now serves through
+    # its own in-kernel recurrence (gru2_infer_pallas, r4d A/B)
+    try:
+        serving_b1_gru_ms = _serving_latency_ms(batch=1, k=50,
+                                                encoder="gru")
+    except Exception:
+        serving_b1_gru_ms = None
     fast_pallas = _pallas_subprocess(batch)
 
     candidates = {"logmel_xla": fast_xla}
@@ -563,6 +598,15 @@ def main():
                                            encoder="gru"), peak)
         if gru_cps is not None else None
     )
+    m_transformer = (
+        mfu(transformer_cps,
+            _train_flops_per_clip("logmel_cached", batch, "bfloat16",
+                                  encoder="transformer"), peak)
+        if transformer_cps is not None else None
+    )
+    att_transformer = attainable_mfu(
+        _bench_config("logmel_cached", batch, "bfloat16",
+                      encoder="transformer"), batch, peak_flops=peak)
 
     result = {
         "metric": "ravdess_train_clips_per_sec_per_chip",
@@ -626,9 +670,32 @@ def main():
         "mfu_gru_fast": (
             round(m_gru["mfu"], 4) if m_gru is not None else None
         ),
+        "transformer_clips_per_sec": (
+            round(transformer_cps, 2) if transformer_cps is not None
+            else None
+        ),
+        "mfu_transformer": (
+            round(m_transformer["mfu"], 4)
+            if m_transformer is not None else None
+        ),
+        "attainable_mfu_transformer": (
+            # scores/AV at head_dim/128 MXU occupancy, batch-independent
+            # (utils/flops.attainable_mfu; r4 verdict item 2)
+            round(att_transformer["attainable_mfu"], 4)
+        ),
+        "fraction_of_attainable_transformer": (
+            round(m_transformer["mfu"]
+                  / att_transformer["attainable_mfu"], 4)
+            if m_transformer is not None else None
+        ),
         "serving_b1_latency_ms": (
             # steady-state ms/forward, raw waveform in (serving2_tpu.json)
             round(serving_b1_ms, 4) if serving_b1_ms is not None else None
+        ),
+        "serving_b1_latency_ms_gru": (
+            # GRU config through gru2_infer_pallas (r4d A/B)
+            round(serving_b1_gru_ms, 4)
+            if serving_b1_gru_ms is not None else None
         ),
         "peak_tflops_bf16": round(peak / 1e12, 1),
         "platform": platform,

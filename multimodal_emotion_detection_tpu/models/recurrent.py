@@ -331,17 +331,24 @@ class FusedStackedRNN(nn.Module):
             self.inference_kernel
             and _INFER_KERNEL_ENABLED
             and deterministic
-            and self.cell_type == "lstm"
+            and self.cell_type in ("lstm", "gru")
             and self.num_layers == 2
             and not self.is_initializing()
         ):
             from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+                gru2_infer_pallas,
+                gru_infer_kernel_supported,
                 kernel_supported,
                 lstm2_infer_pallas,
             )
 
-            if kernel_supported(batch, t_len, h_dim, self.num_layers):
-                h_final = lstm2_infer_pallas(
+            if self.cell_type == "lstm":
+                supported, infer_fn = kernel_supported, lstm2_infer_pallas
+            else:
+                supported, infer_fn = (gru_infer_kernel_supported,
+                                       gru2_infer_pallas)
+            if supported(batch, t_len, h_dim, self.num_layers):
+                h_final = infer_fn(
                     x, layers[0], layers[1],
                     interpret=jax.default_backend() != "tpu",
                 )

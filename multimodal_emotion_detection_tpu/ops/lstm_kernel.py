@@ -192,6 +192,165 @@ def kernel_supported(batch: int, t_len: int, h_dim: int,
 
 
 # ---------------------------------------------------------------------------
+# GRU inference: in-kernel 2-layer recurrence (twin of _lstm2_kernel)
+# ---------------------------------------------------------------------------
+#
+# Round-4 verdict item 4: GRU is the fastest *training* family but served
+# through the scan; serving rides this kernel exactly like the LSTM —
+# same routing gate (FusedStackedRNN deterministic path), same
+# batch-major streaming, final hidden only.
+
+
+def _gru2_infer_kernel(
+    ih0_hbm,  # (B, T_pad, 3H) ANY — hoisted layer-0 input projections
+    w_hh0_ref,   # (H, 3H) VMEM
+    b_hh0_ref,   # (1, 3H) VMEM
+    w_ih1_ref,   # (H, 3H) VMEM
+    b_ih1_ref,   # (1, 3H) VMEM
+    w_hh1_ref,   # (H, 3H) VMEM
+    b_hh1_ref,   # (1, 3H) VMEM
+    h_out_ref,   # (B, H) VMEM out
+    *,
+    t_len: int,
+    chunk: int,
+    full_unroll: bool = False,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = h_out_ref.shape[0]
+    h_dim = h_out_ref.shape[1]
+    num_chunks = ih0_hbm.shape[1] // chunk
+
+    def body(ih_buf, sem, state_buf):
+        # state_buf: (2, B, H) = h0, h1
+        state_buf[:] = jnp.zeros((2, batch, h_dim), jnp.float32)
+        w_hh0 = w_hh0_ref[:]
+        b_hh0 = b_hh0_ref[:]
+        w_ih1 = w_ih1_ref[:]
+        b_ih1 = b_ih1_ref[:]
+        w_hh1 = w_hh1_ref[:]
+        b_hh1 = b_hh1_ref[:]
+
+        def dma(slot, chunk_idx):
+            return pltpu.make_async_copy(
+                ih0_hbm.at[:, pl.ds(chunk_idx * chunk, chunk)],
+                ih_buf.at[slot],
+                sem.at[slot],
+            )
+
+        dma(0, 0).start()
+
+        def chunk_body(ci, _):
+            slot = ci % 2
+
+            @pl.when(ci + 1 < num_chunks)
+            def _():
+                dma((ci + 1) % 2, ci + 1).start()
+
+            dma(slot, ci).wait()
+
+            def step(s, _):
+                t = ci * chunk + s
+                h0 = state_buf[0]
+                h1 = state_buf[1]
+                h0n, *_ = _gru_step(h0, ih_buf[slot, :, s], w_hh0, b_hh0,
+                                    h_dim)
+                ih1 = jnp.dot(
+                    h0n, w_ih1, preferred_element_type=jnp.float32
+                ) + b_ih1
+                h1n, *_ = _gru_step(h1, ih1, w_hh1, b_hh1, h_dim)
+                valid = t < t_len  # padded steps pass state through
+                state_buf[0] = jnp.where(valid, h0n, h0)
+                state_buf[1] = jnp.where(valid, h1n, h1)
+                return 0
+
+            jax.lax.fori_loop(0, chunk, step, 0,
+                              unroll=chunk if full_unroll else 1)
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+        h_out_ref[:] = state_buf[1]
+
+    gates3 = w_hh0_ref.shape[1]
+    pl.run_scoped(
+        body,
+        ih_buf=pltpu.VMEM((2, batch, chunk, gates3), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+        state_buf=pltpu.VMEM((2, batch, h_dim), jnp.float32),
+    )
+
+
+def gru2_infer_pallas(
+    x: jnp.ndarray,  # (B, T, D)
+    layer0: Dict[str, jnp.ndarray],  # w_ih (D,3H), w_hh (H,3H), b_ih, b_hh
+    layer1: Dict[str, jnp.ndarray],
+    chunk: int = 32,
+    full_unroll: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Final hidden state (B, H) of a 2-layer GRU, recurrence in-kernel.
+
+    Layer 0's input projection is hoisted to one XLA matmul; everything
+    sequential runs inside the Pallas program (see _lstm2_kernel).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, t_len, _ = x.shape
+    h_dim = layer0["w_hh"].shape[0]
+
+    ih0 = (
+        x.astype(jnp.float32) @ layer0["w_ih"].astype(jnp.float32)
+        + layer0["b_ih"].astype(jnp.float32)
+    )
+    t_pad = ((t_len + chunk - 1) // chunk) * chunk
+    if t_pad > t_len:
+        ih0 = jnp.pad(ih0, ((0, 0), (0, t_pad - t_len), (0, 0)))
+
+    kernel = functools.partial(_gru2_infer_kernel, t_len=t_len, chunk=chunk,
+                               full_unroll=full_unroll)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, h_dim), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # HBM; streamed manually
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        ih0,
+        layer0["w_hh"].astype(jnp.float32),
+        layer0["b_hh"].astype(jnp.float32).reshape(1, -1),
+        layer1["w_ih"].astype(jnp.float32),
+        layer1["b_ih"].astype(jnp.float32).reshape(1, -1),
+        layer1["w_hh"].astype(jnp.float32),
+        layer1["b_hh"].astype(jnp.float32).reshape(1, -1),
+    )
+
+
+def gru_infer_kernel_supported(batch: int, t_len: int, h_dim: int,
+                               num_layers: int, chunk: int = 32) -> bool:
+    """VMEM feasibility + shape constraints for the GRU inference kernel."""
+    if num_layers != 2:
+        return False
+    gates3 = 3 * h_dim
+    vmem = (
+        2 * chunk * batch * gates3 * 4  # double-buffered ih chunks
+        + 3 * h_dim * gates3 * 4  # w_hh0, w_ih1, w_hh1
+        + 2 * batch * h_dim * 4  # state
+        + batch * h_dim * 4  # out
+    )
+    return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and batch >= 8
+
+
+# ---------------------------------------------------------------------------
 # Training backward: in-kernel reverse dgates chain (one layer per call)
 # ---------------------------------------------------------------------------
 
@@ -361,8 +520,9 @@ def lstm_bwd_chain_pallas(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    chunk = BWD_CHUNK if chunk is None else chunk
     t_len, batch, gates4 = g_series.shape
+    if chunk is None:
+        chunk = _pick_bwd_chunk(batch, gates4 // 4) or BWD_CHUNK
     h_dim = gates4 // 4
     t_pad = ((t_len + chunk - 1) // chunk) * chunk
     pad = t_pad - t_len
@@ -437,26 +597,46 @@ FWD_TRAIN_UNROLL = True
 BWD2_UNROLL = False
 
 
+def _bwd_chunk_vmem(chunk: int, tile: int, h_dim: int) -> int:
+    gates4 = 4 * h_dim
+    return (
+        2 * chunk * tile * (2 * gates4 + 2 * h_dim) * 4  # stream buffers
+        + gates4 * h_dim * 4  # w_hh^T
+        + 2 * tile * h_dim * 4  # carry state
+    )
+
+
+def _pick_bwd_chunk(batch: int, h_dim: int) -> int:
+    """Largest chunk <= BWD_CHUNK whose buffers fit the VMEM budget.
+
+    BWD_CHUNK=8 is the measured full-step optimum at h256 (r2j); larger
+    hidden sizes (the big sweep config's h512) only fit with a shorter
+    chunk — a shorter DMA pipeline beats falling back to the XLA scan.
+    """
+    tile = _pick_tile_b(batch)
+    chunk = BWD_CHUNK
+    while chunk >= 2 and _bwd_chunk_vmem(chunk, tile, h_dim) > 12 * 1024 * 1024:
+        chunk //= 2
+    return chunk if chunk >= 2 else 0
+
+
 def bwd_kernel_supported(batch: int, t_len: int, h_dim: int,
                          chunk: int = None,
                          allow_large: bool = False,
                          f32_large: bool = False) -> bool:
     """VMEM feasibility + layout constraints for the backward kernel."""
-    chunk = BWD_CHUNK if chunk is None else chunk
     cap = _AUTO_MAX_BATCH_F32 if f32_large else _AUTO_MAX_BATCH
     if batch > cap and not allow_large:
         return False
     tile = _pick_tile_b(batch)
     if batch % tile != 0 or tile < 8:
         return False
-    gates4 = 4 * h_dim
-    vmem = (
-        2 * chunk * tile * (2 * gates4 + 2 * h_dim) * 4  # stream buffers
-        + gates4 * h_dim * 4  # w_hh^T
-        + 2 * tile * h_dim * 4  # carry state
-    )
+    if chunk is None:
+        chunk = _pick_bwd_chunk(batch, h_dim)
+        if chunk == 0:
+            return False
     return (
-        vmem <= 12 * 1024 * 1024
+        _bwd_chunk_vmem(chunk, tile, h_dim) <= 12 * 1024 * 1024
         and h_dim % 128 == 0
         and t_len >= 1
     )
@@ -697,6 +877,229 @@ def fwd_kernel_supported(batch: int, t_len: int, h_dim: int,
         + 4 * tile * h_dim * 4
     )
     return vmem <= 12 * 1024 * 1024 and h_dim % 128 == 0 and t_len >= 1
+
+
+# ---------------------------------------------------------------------------
+# Training forward, ONE layer per call: the any-depth / large-H route
+# ---------------------------------------------------------------------------
+#
+# The fused 2-layer kernels above cannot serve the reference's big sweep
+# config (LSTM x3, hidden 512 — /root/reference/run.slurm geometry, the
+# model behind every BASELINE.md number): 3 layers don't fit their
+# hardcoded structure and h512 blows their VMEM gates.  But a stacked
+# LSTM forward factors cleanly by LAYER: layer l's entire time loop
+# depends only on layer l-1's full hidden series, so L sequential
+# single-layer kernel launches cover any depth, each holding just ONE
+# w_hh in VMEM (4 MB at h512).  The input projection x_l @ W_ih + b is
+# hoisted to one full-occupancy XLA matmul between launches.
+#
+# r4b measured the XLA scan forward at 2x its serial-matmul floor at
+# b32 f32 h512: the gap is residual stores and per-step loop overhead
+# that the double-buffered DMA walk overlaps behind the MXU.
+
+
+def _pick_fwd1_chunk(batch: int, h_dim: int) -> int:
+    """Largest chunk whose stream buffers + weights fit the VMEM budget."""
+    tile = _pick_tile_b(batch)
+    for chunk in (16, 8, 4, 2):
+        vmem = (
+            2 * chunk * tile * (4 * h_dim + 4 * h_dim + 2 * h_dim) * 4
+            + h_dim * 4 * h_dim * 4  # w_hh
+            + 2 * tile * h_dim * 4  # carry state
+        )
+        if vmem <= 12 * 1024 * 1024:
+            return chunk
+    return 0
+
+
+def fwd1_kernel_supported(batch: int, t_len: int, h_dim: int,
+                          allow_large: bool = False,
+                          f32_large: bool = False) -> bool:
+    cap = _AUTO_MAX_BATCH_F32 if f32_large else _AUTO_MAX_BATCH
+    if batch > cap and not allow_large:
+        return False
+    tile = _pick_tile_b(batch)
+    if batch % tile != 0 or tile < 8:
+        return False
+    return (
+        _pick_fwd1_chunk(batch, h_dim) > 0
+        and h_dim % 128 == 0
+        and t_len >= 1
+    )
+
+
+def _lstm1_fwd_train_kernel(
+    ih_hbm,    # (T_pad, B, 4H) ANY — hoisted input projections (x@W_ih+b)
+    w_hh_ref,  # (H, 4H) VMEM
+    g_hbm,     # (T_pad, B, 4H) ANY out — gate pre-activations
+    hp_hbm,    # (T_pad, B, H) ANY out — h_prev series (state BEFORE step t)
+    cp_hbm,    # (T_pad, B, H) ANY out — c_prev series
+    hf_ref,    # (B, 2H) VMEM out — [h_final | c_final]
+    *,
+    t_len: int,
+    chunk: int,
+    tile_b: int,
+    full_unroll: bool,
+):
+    """Single-layer forward recurrence, residuals streamed to HBM.
+
+    Emits exactly what the hoisted-gradient backward consumes: the gate
+    pre-activation series (reverse chain), h_prev (dW_hh contraction) and
+    c_prev (cell backward) — no post-kernel shifts.  The caller rebuilds
+    h_new as h_prev shifted by one plus the final (a lane-free view).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = tile_b
+    h_dim = w_hh_ref.shape[0]
+    num_chunks = ih_hbm.shape[0] // chunk
+    b0 = pl.program_id(0) * tile_b
+
+    def body(ih_buf, g_buf, hp_buf, cp_buf, in_sem, out_sem, state_buf):
+        # state_buf: (2, B, H) = h, c
+        state_buf[:] = jnp.zeros((2, batch, h_dim), jnp.float32)
+        w_hh = w_hh_ref[:]
+
+        def dma_in(slot, ci):
+            return pltpu.make_async_copy(
+                ih_hbm.at[pl.ds(ci * chunk, chunk), pl.ds(b0, tile_b)],
+                ih_buf.at[slot],
+                in_sem.at[slot],
+            )
+
+        def dma_out(slot, ci):
+            row = pl.ds(ci * chunk, chunk)
+            cols = pl.ds(b0, tile_b)
+            return [
+                pltpu.make_async_copy(
+                    g_buf.at[slot], g_hbm.at[row, cols], out_sem.at[slot, 0]
+                ),
+                pltpu.make_async_copy(
+                    hp_buf.at[slot], hp_hbm.at[row, cols],
+                    out_sem.at[slot, 1],
+                ),
+                pltpu.make_async_copy(
+                    cp_buf.at[slot], cp_hbm.at[row, cols],
+                    out_sem.at[slot, 2],
+                ),
+            ]
+
+        dma_in(0, 0).start()
+
+        def chunk_body(ci, _):
+            slot = ci % 2
+
+            @pl.when(ci + 1 < num_chunks)
+            def _():
+                dma_in((ci + 1) % 2, ci + 1).start()
+
+            dma_in(slot, ci).wait()
+
+            @pl.when(ci >= 2)
+            def _():
+                for cpy in dma_out(slot, ci - 2):
+                    cpy.wait()
+
+            def step(s, _):
+                t = ci * chunk + s
+                h = state_buf[0]
+                c = state_buf[1]
+                gates = ih_buf[slot, s] + jnp.dot(
+                    h, w_hh, preferred_element_type=jnp.float32
+                )
+                h_new, c_new = _cell(h, c, gates)
+                g_buf[slot, s] = gates
+                hp_buf[slot, s] = h
+                cp_buf[slot, s] = c
+                valid = t < t_len  # padded steps pass state through
+                state_buf[0] = jnp.where(valid, h_new, h)
+                state_buf[1] = jnp.where(valid, c_new, c)
+                return 0
+
+            jax.lax.fori_loop(0, chunk, step, 0,
+                              unroll=chunk if full_unroll else 1)
+            for cpy in dma_out(slot, ci):
+                cpy.start()
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+        @pl.when(num_chunks >= 2)
+        def _():
+            for cpy in dma_out(num_chunks % 2, num_chunks - 2):
+                cpy.wait()
+
+        for cpy in dma_out((num_chunks - 1) % 2, num_chunks - 1):
+            cpy.wait()
+        hf_ref[pl.ds(b0, tile_b), :h_dim] = state_buf[0]
+        hf_ref[pl.ds(b0, tile_b), h_dim:] = state_buf[1]
+
+    gates4 = w_hh_ref.shape[1]
+    pl.run_scoped(
+        body,
+        ih_buf=pltpu.VMEM((2, chunk, batch, gates4), jnp.float32),
+        g_buf=pltpu.VMEM((2, chunk, batch, gates4), jnp.float32),
+        hp_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        cp_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        in_sem=pltpu.SemaphoreType.DMA((2,)),
+        out_sem=pltpu.SemaphoreType.DMA((2, 3)),
+        state_buf=pltpu.VMEM((2, batch, h_dim), jnp.float32),
+    )
+
+
+def lstm1_train_fwd_pallas(
+    ih: jnp.ndarray,    # (T, B, 4H) hoisted input projections (x@W_ih+b)
+    w_hh: jnp.ndarray,  # (H, 4H)
+    chunk: int = None,
+    interpret: bool = False,
+    full_unroll: bool = None,
+):
+    """One LSTM layer's forward over all T, residual series streamed out.
+
+    Returns ``(g_series, h_prev_series, c_prev_series, finals)`` with
+    finals ``(B, 2H) = [h_final | c_final]``; series are (T, B, ·).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_len, batch, gates4 = ih.shape
+    h_dim = gates4 // 4
+    chunk = _pick_fwd1_chunk(batch, h_dim) if chunk is None else chunk
+    full_unroll = FWD_TRAIN_UNROLL if full_unroll is None else full_unroll
+    t_pad = ((t_len + chunk - 1) // chunk) * chunk
+    if t_pad > t_len:
+        ih = jnp.pad(ih, ((0, t_pad - t_len), (0, 0), (0, 0)))
+
+    tile_b = _pick_tile_b(batch)
+    kernel = functools.partial(_lstm1_fwd_train_kernel, t_len=t_len,
+                               chunk=chunk, tile_b=tile_b,
+                               full_unroll=full_unroll)
+    g_s, hp_s, cp_s, finals = pl.pallas_call(
+        kernel,
+        grid=(batch // tile_b,),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, batch, gates4), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, batch, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, batch, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 2 * h_dim), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        ih.astype(jnp.float32),
+        w_hh.astype(jnp.float32),
+    )
+    return g_s[:t_len], hp_s[:t_len], cp_s[:t_len], finals
 
 
 # ---------------------------------------------------------------------------

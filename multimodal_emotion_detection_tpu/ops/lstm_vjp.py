@@ -327,6 +327,69 @@ def _bwd_impl_res2(saved, dys, dh_final):
     return dx, dkeep, dparams
 
 
+def _fwd_layered_ok(x_tm, params):
+    """Per-layer forward kernels: the any-depth / large-H route (the big
+    sweep config's LSTM x3 h512 — no other kernel path serves it).
+    Engages only where the fused 2-layer kernels do NOT apply."""
+    if _FWD_KERNEL_MODE == "off" or "b" not in params[0]:
+        return False, False
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        bwd_kernel_supported,
+        fwd1_kernel_supported,
+    )
+
+    t_len, batch = x_tm.shape[0], x_tm.shape[1]
+    h_dim = params[0]["w_hh"].shape[0]
+    interpret = _FWD_KERNEL_MODE == "interpret"
+    on_tpu = jax.default_backend() == "tpu"
+    f32_large = x_tm.dtype == jnp.float32
+    # require the layered BACKWARD too: a kernel forward whose residuals
+    # feed the XLA reverse scan wins nothing (the scan re-streams them)
+    ok = (
+        (on_tpu or interpret)
+        and fwd1_kernel_supported(batch, t_len, h_dim,
+                                  allow_large=interpret,
+                                  f32_large=f32_large)
+        and bwd_kernel_supported(batch, t_len, h_dim,
+                                 allow_large=interpret,
+                                 f32_large=f32_large)
+    )
+    return ok, interpret
+
+
+def _fwd_pallas_layered(x_tm, keep_tm, params, interpret):
+    """L sequential single-layer kernel launches; any depth, one w_hh in
+    VMEM at a time.  Residuals come out in the scan-path structure
+    (g, h_prev, c_prev, x_l series per layer), so the backward dispatch
+    (_bwd_dgates -> per-layer reverse kernels) consumes them directly."""
+    from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
+        lstm1_train_fwd_pallas,
+    )
+
+    t_len = x_tm.shape[0]
+    n_layers = len(params)
+    x_l = x_tm.astype(jnp.float32)
+    res = []
+    carry = []
+    ys = None
+    for layer, p in enumerate(params):
+        ih = x_l @ p["w_ih"].astype(jnp.float32) + p["b"].astype(jnp.float32)
+        g_s, hp_s, cp_s, finals = lstm1_train_fwd_pallas(
+            ih, p["w_hh"], interpret=interpret)
+        h_dim = p["w_hh"].shape[0]
+        h_final, c_final = finals[:, :h_dim], finals[:, h_dim:]
+        res.append((g_s, hp_s, cp_s,
+                    x_l if layer > 0 else jnp.zeros((0,))))
+        carry.append((h_final, c_final))
+        # h_new(t) = h_prev(t+1) for t < T-1, h_new(T-1) = h_final
+        h_new = jnp.concatenate([hp_s[1:], h_final[None]], axis=0)
+        if layer < n_layers - 1:
+            x_l = h_new * keep_tm[:, layer].astype(jnp.float32)
+        else:
+            ys = h_new
+    return tuple(carry), ys, tuple(res)
+
+
 def _fwd_pallas(x_tm, keep_tm, params, interpret):
     """Kernel forward; reconstructs the scan-path residual structure."""
     from multimodal_emotion_detection_tpu.ops.lstm_kernel import (
@@ -593,6 +656,9 @@ def _fused_fwd(x, keep, params, final_only=False):
     x_tm = jnp.swapaxes(x, 0, 1)
     keep_tm = _keep_tm(keep)
     use_kernel, interpret = _fwd_kernel_ok(x_tm, params)
+    use_layered = False
+    if not use_kernel:
+        use_layered, interpret = _fwd_layered_ok(x_tm, params)
     if use_kernel:
         if _res2_ok(x_tm, params, interpret):
             carry, ys, res = _fwd_pallas_res2(x_tm, keep_tm, params,
@@ -600,6 +666,12 @@ def _fused_fwd(x, keep, params, final_only=False):
                                               final_only=final_only)
         else:
             carry, ys, res = _fwd_pallas(x_tm, keep_tm, params, interpret)
+        dtype = x.dtype
+        out = (jnp.swapaxes(ys, 0, 1).astype(dtype),
+               carry[-1][0].astype(dtype))
+    elif use_layered:
+        carry, ys, res = _fwd_pallas_layered(x_tm, keep_tm, params,
+                                             interpret)
         dtype = x.dtype
         out = (jnp.swapaxes(ys, 0, 1).astype(dtype),
                carry[-1][0].astype(dtype))
@@ -658,6 +730,12 @@ def _fused_bwd_impl(saved, dys, dh_final):
     else:
         dkeep = jnp.zeros((batch, t_len, 0, params[0]["w_hh"].shape[0]),
                           x_tm.dtype)
+    # kernel-path residuals are f32 regardless of the compute dtype;
+    # custom_vjp cotangents must match the primal dtypes exactly
+    dx = dx.astype(x_tm.dtype)
+    dkeep = dkeep.astype(keep_tm.dtype)
+    dparams = jax.tree_util.tree_map(
+        lambda g, p: g.astype(p.dtype), tuple(dparams), tuple(params))
     return dx, dkeep, tuple(dparams)
 
 

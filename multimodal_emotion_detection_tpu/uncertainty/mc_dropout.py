@@ -18,12 +18,15 @@ import jax.numpy as jnp
 
 # jitted forward per model instance (flax modules with dict attrs are not
 # hashable, so they cannot ride jit's static_argnums; close over instead).
-# Keyed by id(model) for lookup speed, but each entry carries a weakref to
-# the model it was built for: id() values are reused after GC, so a bare
-# id-keyed cache could serve a NEW model the stale jitted forward of a
-# dead one with a different architecture.  Dead entries are purged on
-# access, which also bounds the cache to live models.
+# Keyed by id(model) for lookup speed, but each entry also carries a
+# weakref to the model it was built for and the hit path verifies
+# ``ref() is model`` — a bare id-keyed lookup could serve a NEW model the
+# stale jitted forward of a dead one whose id() was reused (round-3
+# advisor finding).  The closure keeps each cached model alive, so growth
+# is bounded explicitly: beyond _CACHE_MAX entries the oldest is evicted
+# (insertion order; re-jitting an evicted model is only a retrace).
 _FORWARD_CACHE: Dict[Tuple[int, int], Tuple[Any, Any]] = {}
+_CACHE_MAX = 16
 
 
 def _get_mc_forward(model, num_modalities: int):
@@ -55,6 +58,8 @@ def _get_mc_forward(model, num_modalities: int):
 
         return jax.vmap(single)(keys)  # (S, B, C)
 
+    while len(_FORWARD_CACHE) >= _CACHE_MAX:
+        del _FORWARD_CACHE[next(iter(_FORWARD_CACHE))]
     _FORWARD_CACHE[cache_key] = (weakref.ref(model), mc_forward)
     return mc_forward
 

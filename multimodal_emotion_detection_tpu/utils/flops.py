@@ -192,6 +192,20 @@ def classifier_flops_per_clip(cfg, audio_samples: int = 48000,
 MXU_TILE_ROWS = 128  # systolic array is 128x128 on v4/v5e
 
 
+def _transformer_attn_train_flops(T: int, hidden: int,
+                                  num_layers: int) -> float:
+    """Training FLOPs of the scores (QK^T) and attention@V matmuls.
+
+    These are the transformer's REDUCED-OCCUPANCY work: per head they
+    contract/emit over head_dim = hidden/num_heads lanes (64 at the
+    flagship's hidden 256 / 4 heads), so the 128-wide MXU tile runs at
+    head_dim/128 — independent of batch, which is why the family's
+    throughput is flat-to-anti-scaling in batch (r3u/r3v).
+    """
+    fwd = num_layers * 4 * T * T * hidden  # scores + AV
+    return 3 * fwd  # fwd + 2x bwd (dQ/dK/dV are the same shapes)
+
+
 def _rnn_serial_train_flops(T: int, hidden: int, num_layers: int,
                             cell: str) -> float:
     """Training matmul FLOPs that are SERIAL in time for one RNN stack.
@@ -232,12 +246,14 @@ def attainable_mfu(cfg, batch: int, audio_samples: int = 48000,
 
     fe = cfg.model.frontend
     serial = 0.0
+    attn = 0.0
+    attn_occ = 1.0
     for name, enc_cfg in dict(cfg.model.encoders).items():
         enc_cfg = dict(enc_cfg)
         if enc_cfg.get("type", "sequence") != "sequence":
             continue
         cell = enc_cfg.get("encoder_type", "lstm")
-        if cell not in ("lstm", "gru"):
+        if cell not in ("lstm", "gru", "transformer"):
             continue
         if name == "audio" and fe.audio in ("logmel", "mfcc"):
             T = logmel_frames(audio_samples, fe.n_fft, fe.hop_length)
@@ -248,19 +264,32 @@ def attainable_mfu(cfg, batch: int, audio_samples: int = 48000,
         else:
             T = enc_cfg.get("sequence_length", 1)
         hidden = enc_cfg.get("hidden_dim") or cfg.model.output_dim * 2
-        serial += _rnn_serial_train_flops(
-            T, hidden, enc_cfg.get("num_layers", 2), cell)
+        if cell == "transformer":
+            attn += _transformer_attn_train_flops(
+                T, hidden, enc_cfg.get("num_layers", 2))
+            # SequenceEncoder builds TransformerBlock(num_heads=4)
+            attn_occ = min(1.0, (hidden / 4) / MXU_TILE_ROWS)
+        else:
+            serial += _rnn_serial_train_flops(
+                T, hidden, enc_cfg.get("num_layers", 2), cell)
 
     serial = min(serial, train)
-    batched = train - serial
+    attn = min(attn, train - serial)
+    batched = train - serial - attn
     occ = min(1.0, batch / MXU_TILE_ROWS)
-    attainable_time = serial / (peak * occ) + batched / peak  # s/clip
+    attainable_time = (
+        serial / (peak * occ)
+        + attn / (peak * attn_occ)
+        + batched / peak
+    )  # s/clip
     a_mfu = train / (peak * attainable_time)
     return {
         "train_flops_per_clip": train,
         "serial_flops_per_clip": serial,
+        "attn_flops_per_clip": attn,
         "batched_flops_per_clip": batched,
         "serial_occupancy": occ,
+        "attn_occupancy": attn_occ,
         "attainable_clips_per_sec": 1.0 / attainable_time,
         "attainable_mfu": a_mfu,
     }

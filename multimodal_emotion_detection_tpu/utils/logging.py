@@ -29,6 +29,7 @@ class CSVLogger:
         self.path = self.log_dir / "metrics.csv"
         self._rows: list[Dict[str, object]] = []
         self._columns: list[str] = []
+        self._rewrites = 0  # full-file rewrites (tested: stays O(columns))
 
     def log_metrics(
         self, metrics: Dict[str, float], step: int, epoch: Optional[int] = None
@@ -38,19 +39,28 @@ class CSVLogger:
         ``epoch=None`` leaves the epoch cell empty — the reference's
         LearningRateMonitor rows look exactly like that
         (grid_sweep_results/*/metrics.csv: ``0.001,0,,,...``).
+
+        IO is append-only per row; the file is rewritten in full only
+        when the COLUMN SET grows (a handful of times early in a run),
+        so long ``log_every_n_steps`` runs stay O(rows) file IO, not
+        O(rows²).
         """
         row: Dict[str, object] = {"step": step}
         if epoch is not None:
             row["epoch"] = epoch
         for key, value in metrics.items():
             row[key] = float(value)
-        for key in row:
-            if key not in self._columns:
-                self._columns.append(key)
+        new_columns = [key for key in row if key not in self._columns]
         self._rows.append(row)
-        self._flush()
+        if new_columns or not self._rows[:-1]:
+            self._columns.extend(new_columns)
+            self._rewrite()
+        else:
+            with open(self.path, "a", newline="") as f:
+                csv.DictWriter(f, fieldnames=self._columns).writerow(row)
 
-    def _flush(self) -> None:
+    def _rewrite(self) -> None:
+        self._rewrites += 1
         with open(self.path, "w", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=self._columns)
             writer.writeheader()

@@ -10,6 +10,7 @@ count must land slightly below it but within a small envelope).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodal_emotion_detection_tpu.config import Config, apply_overrides
 from multimodal_emotion_detection_tpu.utils.flops import (
@@ -179,9 +180,19 @@ def test_attainable_mfu_ceiling():
     # flagship b32 ceiling ~0.467: the achieved 0.301 is ~64% of it
     assert 0.4 < a32["attainable_mfu"] < 0.55
 
-    # non-recurrent stacks have no serial term -> ceiling is 1.0
+    # transformers have no serial term, but the scores/AV matmuls run at
+    # head_dim/128 = (256/4)/128 = 0.5 MXU occupancy — the ceiling is the
+    # attention-fraction-weighted harmonic mean, not 1.0 (round-4
+    # verdict item 2: the anti-scaling verdict needs an honest anchor)
     cfg.model.encoders["audio"]["encoder_type"] = "transformer"
     cfg.model.encoders["video"]["type"] = "frame"
     at = attainable_mfu(cfg, 32, peak_flops=peak)
     assert at["serial_flops_per_clip"] == 0
-    assert at["attainable_mfu"] == 1.0
+    assert at["attn_occupancy"] == 0.5
+    fr = at["attn_flops_per_clip"] / at["train_flops_per_clip"]
+    expected = 1.0 / (1.0 - fr + fr / 0.5)
+    assert abs(at["attainable_mfu"] - expected) < 1e-9
+    assert 0.8 < at["attainable_mfu"] < 0.9
+    # batch-independent: the attention occupancy does not improve with b
+    assert (attainable_mfu(cfg, 256, peak_flops=peak)["attainable_mfu"]
+            == pytest.approx(at["attainable_mfu"]))

@@ -146,3 +146,24 @@ def test_sequential_sweep_driver(tmp_path, monkeypatch):
     assert (tag_dir / "metrics.csv").exists()
     assert (tag_dir / "best.ckpt").exists()
     assert (tmp_path / "grid" / "sweep_summary.json").exists()
+
+
+def test_csv_logger_append_only_io(tmp_path):
+    """Row appends must NOT rewrite the file (round-3 advisor finding:
+    O(rows²) IO); a full rewrite happens only when the column set grows."""
+    from multimodal_emotion_detection_tpu.utils.logging import CSVLogger
+
+    logger = CSVLogger(tmp_path)
+    logger.log_metrics({"train/loss": 1.0}, step=1, epoch=0)
+    first = logger._rewrites
+    for i in range(50):
+        logger.log_metrics({"train/loss": 1.0 - i * 0.01}, step=2 + i,
+                           epoch=0)
+    assert logger._rewrites == first  # same columns -> appends only
+    logger.log_metrics({"train/loss": 0.4, "val/loss": 0.5}, step=99,
+                       epoch=1)
+    assert logger._rewrites == first + 1  # column growth -> one rewrite
+    rows = list(csv.DictReader(open(logger.path)))
+    assert len(rows) == 52
+    assert rows[0]["val/loss"] == "" and rows[-1]["val/loss"] == "0.5"
+    assert rows[10]["train/loss"] == f"{1.0 - 9 * 0.01}"

@@ -215,3 +215,39 @@ def test_vmapped_ensemble_training_feeds_ensemble_predict():
     assert mean_probs.shape == (6, 4)
     np.testing.assert_allclose(np.asarray(mean_probs.sum(-1)), 1.0, rtol=1e-5)
     assert float(unc.max()) > 0.0  # members genuinely differ
+
+
+def test_mc_forward_cache_guards_id_reuse_and_purges_dead():
+    """id() values are reused after GC: the jit cache must verify the
+    weakref still points at the SAME live model, and must purge entries
+    for dead models (round-3 advisor finding: an id()-keyed cache served
+    a new model the stale jitted forward of a dead one)."""
+    import gc
+
+    from multimodal_emotion_detection_tpu.uncertainty import mc_dropout as md
+
+    model_a, _, _ = _tiny_model_and_params()
+    fwd_a = md._get_mc_forward(model_a, 1)
+    assert md._get_mc_forward(model_a, 1) is fwd_a  # live hit
+
+    # simulate id reuse: plant an entry keyed by model_b's id whose
+    # weakref points at a DIFFERENT (still live) model — the guard must
+    # reject the hit and rebuild instead of serving the foreign forward
+    model_b, _, _ = _tiny_model_and_params(dropout=0.1)
+    md._FORWARD_CACHE[(id(model_b), 1)] = (md.weakref.ref(model_a),
+                                           "stale-foreign-forward")
+    fwd_b = md._get_mc_forward(model_b, 1)
+    assert fwd_b != "stale-foreign-forward"
+    assert md._get_mc_forward(model_b, 1) is fwd_b
+
+    # the closure keeps cached models alive, so boundedness comes from
+    # LRU eviction, not weakref death: flood with fresh models and check
+    # the cap holds while the newest entries still hit
+    del gc
+    keep = [
+        _tiny_model_and_params(dropout=0.05 * i)[0]
+        for i in range(md._CACHE_MAX + 4)
+    ]
+    fwds = [md._get_mc_forward(m, 1) for m in keep]
+    assert len(md._FORWARD_CACHE) <= md._CACHE_MAX
+    assert md._get_mc_forward(keep[-1], 1) is fwds[-1]
