@@ -29,8 +29,13 @@ def modality_dropout_mask(
 
     Jit-safe reformulation of the reference's resample-if-empty logic: rows
     that drop everything get a single uniformly-chosen modality re-enabled.
+
+    ``dropout_prob`` may be a traced scalar (the vmapped grid sweep maps
+    members over it); the zero-prob shortcut then falls through — the
+    Bernoulli at p=1 and the untriggered fallback give the same all-ones
+    mask.
     """
-    if dropout_prob <= 0.0:
+    if isinstance(dropout_prob, (int, float)) and dropout_prob <= 0.0:
         return jnp.ones((batch_size, num_modalities), dtype=jnp.float32)
     keep_key, fix_key = jax.random.split(key)
     keep = jax.random.bernoulli(

@@ -38,6 +38,10 @@ class SweepState(struct.PyTreeNode):
     # non-param collections (e.g. batch_stats for BN encoders), leading
     # member axis; empty dict when the model has none
     model_state: any = struct.field(default_factory=dict)
+    # per-member modality-dropout probability (the grid's mDrop axis as a
+    # TRACED member dimension); None -> the shared static value passed to
+    # make_vmapped_train_step
+    mdrops: any = None
 
 
 def _adam_core(clip_norm: float) -> optax.GradientTransformation:
@@ -55,6 +59,8 @@ def init_sweep_state(
     lrs: Sequence[float],
     clip_norm: float,
     seed: int,
+    mdrops: Sequence[float] | None = None,
+    member_ids: Sequence[int] | None = None,
 ) -> SweepState:
     g = len(lrs)
     core_tx = _adam_core(clip_norm)
@@ -65,8 +71,12 @@ def init_sweep_state(
         params = variables.pop("params")
         return params, core_tx.init(params), variables
 
-    # distinct init per member (fold_in member index), stacked
-    keys = [jax.random.fold_in(jax.random.PRNGKey(seed), i) for i in range(g)]
+    # distinct init per member (fold_in member id), stacked; member_ids
+    # lets a standalone run reproduce a stacked member's init exactly
+    # (benchmarks/r4e equality legs)
+    ids = list(member_ids) if member_ids is not None else list(range(g))
+    assert len(ids) == g
+    keys = [jax.random.fold_in(jax.random.PRNGKey(seed), i) for i in ids]
     inits = [init_one(k) for k in keys]
     params = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
                                     *[p for p, _, _ in inits])
@@ -83,6 +93,8 @@ def init_sweep_state(
         opt_state=opt_states,
         lrs=jnp.asarray(list(lrs), jnp.float32),
         model_state=model_state,
+        mdrops=(jnp.asarray(list(mdrops), jnp.float32)
+                if mdrops is not None else None),
     )
 
 
@@ -148,12 +160,25 @@ def make_vmapped_train_step(
         b = idx.shape[0]
         step_key = jax.random.fold_in(key, state.step)
         mask_key, dropout_key = jax.random.split(step_key)
-        mask = modality_dropout_mask(mask_key, b, num_modalities,
-                                     modality_dropout)
-        mask = mask * valid[:, None]
+        if state.mdrops is not None:
+            # grid members carry their own modality-dropout probability:
+            # same key, per-member p -> monotone-coupled draws (a member
+            # with higher p drops a superset under the shared uniforms)
+            mask = jax.vmap(
+                lambda p: modality_dropout_mask(mask_key, b,
+                                                num_modalities, p)
+            )(state.mdrops)
+            mask = mask * valid[None, :, None]
+            mask_axis = 0
+        else:
+            mask = modality_dropout_mask(mask_key, b, num_modalities,
+                                         modality_dropout)
+            mask = mask * valid[:, None]
+            mask_axis = None
 
         new_params, new_opt, new_ms, metrics = jax.vmap(
-            member_step, in_axes=(0, 0, 0, 0, None, None, None, None, None)
+            member_step,
+            in_axes=(0, 0, 0, 0, None, None, mask_axis, None, None),
         )(state.params, state.opt_state, state.model_state, state.lrs,
           batch, batch_labels, mask, dropout_key, valid)
         return (
@@ -304,6 +329,120 @@ def _vmapped_lr_sweep(
         best_epoch = int(np.argmin(curve))
         results.append({
             "learning_rate": float(lr),
+            "best_val_loss": curve[best_epoch],
+            "best_epoch": best_epoch,
+            "final_val_acc": float(history[-1]["val_acc"][i]),
+        })
+    return results
+
+
+def vmapped_grid_sweep(
+    model_factory,
+    train_loader,
+    val_loader,
+    lrs: Sequence[float],
+    model_dropouts: Sequence[float],
+    modality_dropouts: Sequence[float],
+    epochs: int,
+    clip_norm: float = 1.0,
+    weight_decay: float = 1e-4,
+    seed: int = 42,
+) -> List[Dict[str, float]]:
+    """The reference's FULL 3x2x2 grid (sweep.sh:27-29) as stacked
+    programs: the lr and modality-dropout axes are TRACED member
+    dimensions (lr scales the update; mDrop parameterizes the in-jit
+    Bernoulli mask), so each static model-dropout value runs ONE
+    vmapped program over its lr x mDrop members.  Flax dropout rates are
+    module attributes (static), so the model-dropout axis stays a Python
+    loop over programs — 12 sequential runs become
+    ``len(model_dropouts)`` dispatch streams of 6 members each.
+
+    ``model_factory(model_dropout) -> model`` builds the member model for
+    one static dropout value.  Returns one summary dict per grid member
+    with the reference's tag fields.
+    """
+    from multimodal_emotion_detection_tpu.models.recurrent import (
+        set_infer_kernel_enabled,
+    )
+    from multimodal_emotion_detection_tpu.ops.lstm_vjp import (
+        set_bwd_kernel_mode,
+        set_fwd_kernel_mode,
+    )
+
+    prev_f, prev_b = set_fwd_kernel_mode("off"), set_bwd_kernel_mode("off")
+    prev_i = set_infer_kernel_enabled(False)
+    try:
+        results: List[Dict[str, float]] = []
+        for mdrop_model in model_dropouts:
+            model = model_factory(mdrop_model)
+            members = [(lr, md) for lr in lrs for md in modality_dropouts]
+            res = _vmapped_grid_members(
+                model, train_loader, val_loader, members, epochs,
+                clip_norm, weight_decay, seed,
+            )
+            for (lr, md), r in zip(members, res):
+                r.update({"learning_rate": float(lr),
+                          "model_dropout": float(mdrop_model),
+                          "modality_dropout": float(md)})
+                results.append(r)
+        return results
+    finally:
+        set_fwd_kernel_mode(prev_f)
+        set_bwd_kernel_mode(prev_b)
+        set_infer_kernel_enabled(prev_i)
+
+
+def _vmapped_grid_members(
+    model, train_loader, val_loader, members, epochs,
+    clip_norm, weight_decay, seed, member_ids=None,
+) -> List[Dict[str, float]]:
+    feats, labels = train_loader.device_arrays()
+    vfeats, vlabels = val_loader.device_arrays()
+    m = train_loader.arrays.num_modalities
+    b = train_loader.batch_size
+    sample = {k: a[:b] for k, a in feats.items()}
+    state = init_sweep_state(
+        model, sample, jnp.ones((b, m), jnp.float32),
+        [lr for lr, _ in members], clip_norm, seed,
+        mdrops=[md for _, md in members],
+        member_ids=member_ids,
+    )
+    train_epoch = make_vmapped_train_step(
+        model, m, 0.0, clip_norm, weight_decay, scan_epoch=True,
+    )
+    eval_step = make_vmapped_eval_step(model, m)
+    key = jax.random.PRNGKey(seed)
+
+    history = []
+    for epoch in range(epochs):
+        idx_all = train_loader.epoch_batch_indices(epoch)
+        valid_all = train_loader.epoch_batch_valid()
+        state, _ = train_epoch(
+            state, feats, labels,
+            jnp.asarray(idx_all, dtype=jnp.int32),
+            jnp.asarray(valid_all, dtype=jnp.float32), key,
+        )
+        vidx = val_loader.epoch_batch_indices(0)
+        vvalid = val_loader.epoch_batch_valid()
+        totals = None
+        for bi in range(vidx.shape[0]):
+            sums = eval_step(state.params, state.model_state, vfeats,
+                             vlabels, jnp.asarray(vidx[bi]),
+                             jnp.asarray(vvalid[bi]))
+            totals = sums if totals is None else jax.tree_util.tree_map(
+                jnp.add, totals, sums
+            )
+        totals = jax.device_get(totals)
+        history.append({
+            "val_loss": totals["loss_sum"] / np.maximum(totals["count"], 1),
+            "val_acc": totals["correct_sum"] / np.maximum(totals["count"], 1),
+        })
+
+    results = []
+    for i in range(len(members)):
+        curve = [float(h["val_loss"][i]) for h in history]
+        best_epoch = int(np.argmin(curve))
+        results.append({
             "best_val_loss": curve[best_epoch],
             "best_epoch": best_epoch,
             "final_val_acc": float(history[-1]["val_acc"][i]),

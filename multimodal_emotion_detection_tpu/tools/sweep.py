@@ -150,12 +150,79 @@ def run_vmapped_lr_sweep(config, lrs, out_root="grid_sweep_results"):
     return results
 
 
+def run_vmapped_grid_sweep(
+    config,
+    learning_rates: Sequence[float] = (5e-4, 1e-3, 2e-3),
+    dropouts: Sequence[float] = (0.0, 0.1),
+    modality_dropouts: Sequence[float] = (0.0, 0.05),
+    out_root: str = "grid_sweep_results",
+):
+    """The FULL reference 3x2x2 grid as stacked vmapped programs: lr and
+    modality-dropout are traced member axes (6 members per program); the
+    model-dropout axis is static (flax rates are module attributes), so
+    the 12 sequential runs become 2 programs
+    (parallel/vmap_sweep.vmapped_grid_sweep)."""
+    import copy as _copy
+
+    from multimodal_emotion_detection_tpu.data.loader import create_dataloaders
+    from multimodal_emotion_detection_tpu.models.classifier import (
+        classifier_from_config,
+    )
+    from multimodal_emotion_detection_tpu.parallel.vmap_sweep import (
+        vmapped_grid_sweep,
+    )
+    from multimodal_emotion_detection_tpu.utils.runtime import setup_from_config
+
+    setup_from_config(config)
+    train_loader, val_loader, _ = create_dataloaders(
+        dataset_name=config.dataset.name,
+        data_dir=config.dataset.data_dir,
+        modalities=config.dataset.modalities,
+        batch_size=config.dataset.batch_size,
+        modality_dropout=config.training.augmentation.modality_dropout,
+        seed=config.seed,
+        num_samples=config.dataset.num_samples,
+        num_samples_eval=config.dataset.num_samples_eval,
+        num_classes=config.dataset.num_classes,
+        modality_dim=config.dataset.modality_dim,
+        sequence_length=config.dataset.sequence_length,
+    )
+
+    def model_factory(model_dropout):
+        cfg = _copy.deepcopy(config)
+        cfg.model.dropout = model_dropout
+        return classifier_from_config(cfg)
+
+    results = vmapped_grid_sweep(
+        model_factory, train_loader, val_loader,
+        lrs=learning_rates,
+        model_dropouts=dropouts,
+        modality_dropouts=modality_dropouts,
+        epochs=config.training.max_epochs,
+        clip_norm=config.training.gradient_clip_norm,
+        weight_decay=config.training.weight_decay,
+        seed=config.seed,
+    )
+    out_dir = Path(out_root)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for r in results:
+        r["tag"] = format_tag(r["learning_rate"], r["model_dropout"],
+                              r["modality_dropout"])
+        print(f"{r['tag']}: best_val_loss={r['best_val_loss']:.4f} "
+              f"@ epoch {r['best_epoch']}")
+    (out_dir / "vmap_grid_results.json").write_text(
+        json.dumps(results, indent=2)
+    )
+    return results
+
+
 def main(argv=None):
     from multimodal_emotion_detection_tpu.config import load_config
 
     argv = list(sys.argv[1:] if argv is None else argv)
     config_path, out_root = None, "grid_sweep_results"
     vmap_lrs = None
+    vmap_grid = False
     rest = []
     it = iter(argv)
     for a in it:
@@ -165,9 +232,13 @@ def main(argv=None):
             out_root = next(it)
         elif a == "--vmap-lrs":
             vmap_lrs = [float(x) for x in next(it).split(",")]
+        elif a == "--vmap-grid":
+            vmap_grid = True
         else:
             rest.append(a)
     cfg = load_config(config_path, rest)
+    if vmap_grid:
+        return run_vmapped_grid_sweep(cfg, out_root=out_root)
     if vmap_lrs:
         return run_vmapped_lr_sweep(cfg, vmap_lrs, out_root=out_root)
     return run_sweep(cfg, out_root=out_root, overrides=rest)

@@ -1,0 +1,280 @@
+"""One-command real-data parity harness vs the reference pipeline.
+
+    python scripts/parity.py --audio_root A --video_root V [--out DIR]
+                             [--epochs N] [--platform cpu] [--skip-train]
+    python scripts/parity.py --synthetic [...]   # CI-runnable smoke
+
+Three stages (round-4 verdict item 7):
+
+1. **Dual ETL** — runs BOTH pipelines on the same media: this repo's
+   `data/ravdess.py` CLI and the reference's own
+   `/root/reference/src/dataprocessing.py` (imported and executed; its
+   single `librosa.load` call is satisfied by a shim built on this
+   repo's wav reader + kaiser-grade polyphase resampler — the
+   documented PARITY.md #3 divergence, ~1e-7 interior error when
+   resampling, bit-exact when the media is already 16 kHz).
+2. **Split membership + content parity** — per split, asserts identical
+   shapes, bitwise-identical label arrays (same membership AND order:
+   both pipelines stratify with the same seed), and max-abs feature
+   deltas under tight tolerances.
+3. **The 3-lr ladder** — trains lr ∈ {5e-4, 1e-3, 2e-3} on the OUR-ETL
+   dataset with the reference's big sweep geometry (out 256 / hidden 512
+   / LSTM×3), both `frontend.audio=raw` (faithful architecture) and
+   `logmel` (TPU-native fast path), then emits a diff table against the
+   BASELINE.md ladder (best_val_loss 1.9429 / 2.0580 / 1.9470, test acc
+   0.2431 / 0.1319 / 0.2431).  With real RAVDESS at full epochs this is
+   hours of raw-waveform training — size it with --epochs/--max-raw-lrs.
+
+Writes <out>/parity_report.json and prints the diff table.  Exits
+nonzero if stage 2 fails; stage-3 numbers are reported, not asserted
+(synthetic media cannot reproduce real-data accuracy).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+REFERENCE_SRC = Path("/root/reference/src")
+
+# BASELINE.md ladder (grid_sweep_results/*, SURVEY.md §6)
+BASELINE_LADDER = {
+    "0.0005": {"best_val_loss": 1.9429, "test_acc": 0.2431},
+    "0.001": {"best_val_loss": 2.0580, "test_acc": 0.1319},
+    "0.002": {"best_val_loss": 1.9470, "test_acc": 0.2431},
+}
+
+
+def _install_librosa_shim() -> None:
+    """The image has no librosa; the reference needs only librosa.load.
+    Back it with this repo's wav reader + polyphase resampler."""
+    if "librosa" in sys.modules:
+        return
+    from multimodal_emotion_detection_tpu.utils.wav import read_wav, resample
+
+    shim = types.ModuleType("librosa")
+
+    def load(path, sr=22050, mono=True):
+        y, orig_sr = read_wav(str(path))
+        if y.ndim > 1:
+            y = y.mean(axis=-1)
+        if sr is not None and sr != orig_sr:
+            y = resample(y, orig_sr, sr)
+            orig_sr = sr
+        return y.astype(np.float32), orig_sr
+
+    shim.load = load
+    shim.__version__ = "shim-0 (repo wav reader + polyphase resampler; "\
+        "PARITY.md #3)"
+    sys.modules["librosa"] = shim
+
+
+def run_reference_etl(audio_root: Path, video_root: Path,
+                      out_root: Path) -> None:
+    _install_librosa_shim()
+    sys.path.insert(0, str(REFERENCE_SRC))
+    import dataprocessing as ref_dp  # noqa: E402 (reference module)
+
+    train_data, val_data, test_data = ref_dp.build_ravdess_multimodal_raw(
+        audio_root=str(audio_root),
+        video_root=str(video_root),
+        val_size=0.15,
+        test_size=0.15,
+        stratify_by="emotion",
+    )
+    ref_dp.save_splits_to_disk(train_data, val_data, test_data,
+                               str(out_root))
+    sys.path.remove(str(REFERENCE_SRC))
+
+
+def run_our_etl(audio_root: Path, video_root: Path, out_root: Path) -> None:
+    from multimodal_emotion_detection_tpu.data import ravdess
+
+    ravdess.main([
+        "--audio_root", str(audio_root),
+        "--video_root", str(video_root),
+        "--out_root", str(out_root),
+        "--val_size", "0.15",
+        "--test_size", "0.15",
+    ])
+
+
+def compare_datasets(ours: Path, ref: Path) -> dict:
+    report = {}
+    failures = []
+    for split in ("train", "val", "test"):
+        row = {}
+        for name, tol in (("labels", 0.0), ("audio", 5e-5),
+                          ("video", 2e-3)):
+            a = np.load(ours / split / f"{name}.npy")
+            b = np.load(ref / split / f"{name}.npy")
+            row[f"{name}_shape"] = list(a.shape)
+            if a.shape != b.shape:
+                failures.append(f"{split}/{name}: shape {a.shape} vs "
+                                f"{b.shape}")
+                continue
+            if name == "labels":
+                eq = bool((a == b).all())
+                row["labels_identical"] = eq
+                if not eq:
+                    failures.append(f"{split}/labels differ (membership or "
+                                    "order)")
+            else:
+                err = float(np.abs(a.astype(np.float64)
+                                   - b.astype(np.float64)).max())
+                row[f"{name}_max_abs_diff"] = err
+                if err > tol:
+                    failures.append(
+                        f"{split}/{name}: max abs diff {err:.2e} > {tol}")
+        report[split] = row
+    report["failures"] = failures
+    return report
+
+
+def run_ladder(data_dir: Path, out_dir: Path, lrs, epochs: int,
+               frontend: str, platform: str) -> dict:
+    """Train the big sweep geometry per lr via the real train CLI."""
+    results = {}
+    for lr in lrs:
+        tag = f"{frontend}_lr{lr}"
+        run_dir = out_dir / tag
+        cmd = [
+            sys.executable, "-m", "multimodal_emotion_detection_tpu.train",
+            f"dataset.data_dir={data_dir}",
+            "dataset.name=ravdess",
+            "dataset.modalities=[audio,video]",
+            "model.encoders.video.input_dim=4096",
+            "model.output_dim=256",
+            "model.hidden_dim=512",
+            "model.encoders.audio.hidden_dim=512",
+            "model.encoders.audio.num_layers=3",
+            "model.encoders.video.hidden_dim=512",
+            f"training.learning_rate={lr}",
+            f"training.max_epochs={epochs}",
+            "training.early_stopping_patience=15",
+            f"experiment.name={tag}",
+            f"experiment.save_dir={run_dir}",
+        ]
+        if frontend == "logmel":
+            cmd.append("model.frontend.audio=logmel")
+            cmd.append("model.frontend.cache=true")
+        if platform:
+            cmd.append(f"runtime.platform={platform}")
+        print(f"[ladder] {tag}: {' '.join(cmd[2:])}", flush=True)
+        proc = subprocess.run(cmd, cwd=str(ROOT), capture_output=True,
+                              text=True)
+        entry = {"returncode": proc.returncode}
+        res_path = run_dir / tag / "results.json"
+        if proc.returncode == 0 and res_path.exists():
+            res = json.loads(res_path.read_text())
+            entry["best_val_loss"] = res.get("best_val_loss")
+            cm_path = run_dir / tag / "confusion_matrix.npy"
+            if cm_path.exists():
+                cm = np.load(cm_path)
+                entry["test_acc"] = float(np.trace(cm) / cm.sum())
+        else:
+            entry["tail"] = proc.stdout[-2000:] + proc.stderr[-1000:]
+        results[str(lr)] = entry
+    return results
+
+
+def print_diff_table(ladder: dict) -> None:
+    print("\n=== ladder vs BASELINE.md (reference A100 artifacts) ===")
+    print(f"{'frontend/lr':<18}{'val_loss':>10}{'ref':>9}{'Δ':>8}"
+          f"{'test_acc':>10}{'ref':>9}{'Δ':>8}")
+    for key, runs in ladder.items():
+        for lr, entry in runs.items():
+            base = BASELINE_LADDER.get(lr, {})
+            vl = entry.get("best_val_loss")
+            ta = entry.get("test_acc")
+            rvl, rta = base.get("best_val_loss"), base.get("test_acc")
+            print(f"{key + '/' + lr:<18}"
+                  f"{round(vl, 4) if vl is not None else '—':>10}"
+                  f"{rvl if rvl is not None else '—':>9}"
+                  f"{(round(vl - rvl, 4) if None not in (vl, rvl) else '—'):>8}"
+                  f"{(round(ta, 4) if ta is not None else '—'):>10}"
+                  f"{rta if rta is not None else '—':>9}"
+                  f"{(round(ta - rta, 4) if None not in (ta, rta) else '—'):>8}")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--audio_root", type=str)
+    parser.add_argument("--video_root", type=str)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="generate learnable synthetic RAVDESS media "
+                             "(CI smoke; real accuracy parity needs real "
+                             "media)")
+    parser.add_argument("--clips-per-emotion", type=int, default=8)
+    parser.add_argument("--out", type=str, default="parity_out")
+    parser.add_argument("--epochs", type=int, default=50)
+    parser.add_argument("--platform", type=str, default="",
+                        help="runtime.platform override (e.g. cpu)")
+    parser.add_argument("--skip-train", action="store_true",
+                        help="ETL + membership parity only")
+    parser.add_argument("--lrs", type=str, default="0.0005,0.001,0.002")
+    parser.add_argument("--max-raw-lrs", type=int, default=None,
+                        help="cap how many lrs run the (slow) raw-waveform "
+                             "architecture; remaining run logmel only")
+    args = parser.parse_args(argv)
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    if args.synthetic:
+        sys.path.insert(0, str(ROOT / "scripts"))
+        from make_sweep_corpus import gen_media
+
+        media = out / "media"
+        if not (media / "audio").exists():
+            gen_media(media, clips_per_emotion=args.clips_per_emotion)
+        audio_root, video_root = media / "audio", media / "video"
+    else:
+        if not args.audio_root or not args.video_root:
+            parser.error("--audio_root/--video_root required without "
+                         "--synthetic")
+        audio_root, video_root = Path(args.audio_root), Path(args.video_root)
+
+    ours, ref = out / "dataset_ours", out / "dataset_reference"
+    print("[etl] running THIS repo's pipeline ...", flush=True)
+    run_our_etl(audio_root, video_root, ours)
+    print("[etl] running the REFERENCE pipeline "
+          "(/root/reference/src/dataprocessing.py) ...", flush=True)
+    run_reference_etl(audio_root, video_root, ref)
+
+    report = {"etl_parity": compare_datasets(ours, ref)}
+    failures = report["etl_parity"]["failures"]
+    print(json.dumps(report["etl_parity"], indent=2))
+
+    if not args.skip_train and not failures:
+        lrs = [lr for lr in args.lrs.split(",") if lr]
+        raw_lrs = lrs if args.max_raw_lrs is None else lrs[:args.max_raw_lrs]
+        report["ladder"] = {
+            "logmel": run_ladder(ours, out / "runs", lrs, args.epochs,
+                                 "logmel", args.platform),
+        }
+        if raw_lrs:
+            report["ladder"]["raw"] = run_ladder(
+                ours, out / "runs", raw_lrs, args.epochs, "raw",
+                args.platform)
+        print_diff_table(report["ladder"])
+
+    (out / "parity_report.json").write_text(json.dumps(report, indent=2))
+    print(f"\nreport: {out / 'parity_report.json'}")
+    if failures:
+        print("ETL PARITY FAILURES:", *failures, sep="\n  ")
+        return 1
+    print("ETL parity OK (membership, order, content)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

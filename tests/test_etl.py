@@ -375,3 +375,32 @@ def test_build_stem_map(tmp_path):
     dup.touch()
     with pytest.raises(ValueError, match="Duplicate stem"):
         build_stem_map([p1, dup])
+
+
+def test_parity_harness_dual_etl_smoke(tmp_path):
+    """scripts/parity.py stage 1+2 (CI smoke of the real-data parity
+    harness, round-4 verdict item 7): generate synthetic RAVDESS media,
+    run BOTH ETL pipelines — ours and the reference's own
+    dataprocessing.py (librosa satisfied by the repo-resampler shim) —
+    and assert split membership, order, and content parity."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    proc = subprocess.run(
+        [sys.executable, str(root / "scripts" / "parity.py"),
+         "--synthetic", "--skip-train", "--clips-per-emotion", "8",
+         "--out", str(tmp_path / "parity")],
+        capture_output=True, text=True, timeout=540, cwd=str(root),
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
+    report = json.loads(
+        (tmp_path / "parity" / "parity_report.json").read_text())
+    etl = report["etl_parity"]
+    assert etl["failures"] == []
+    for split in ("train", "val", "test"):
+        assert etl[split]["labels_identical"]
+        assert etl[split]["audio_max_abs_diff"] <= 5e-5
+        assert etl[split]["video_max_abs_diff"] <= 2e-3

@@ -830,36 +830,21 @@ def test_multiprocess_distributed_training(tmp_path):
         str(Path(__file__).resolve().parents[1])
         + os.pathsep + env.get("PYTHONPATH", "")
     )
-    def launch(port_, wd):
-        procs = [
-            subprocess.Popen(
-                [sys.executable, str(worker), str(i), "2", str(port_),
-                 str(wd)],
-                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                text=True,
-            )
-            for i in range(2)
-        ]
-        return procs, [p.communicate(timeout=900)[0] for p in procs]
-
-    procs, outs = launch(port, workdir)
-    failed_outs = [o for p, o in zip(procs, outs) if p.returncode != 0]
-    if failed_outs and all(
-        "Barrier timed out" in o or "DEADLINE_EXCEEDED" in o
-        for o in failed_outs
-    ):
-        # coordination-service shutdown barrier is timing-sensitive under
-        # heavy machine load (observed flaking when the suite shares the
-        # box with an on-chip bench); one retry on a fresh port AND a
-        # fresh workdir — the failed attempt may have written CSV/ckpt
-        # artifacts before its shutdown barrier timed out, which would
-        # break the artifact-count asserts below
-        with socket.socket() as s:
-            s.bind(("localhost", 0))
-            port = s.getsockname()[1]
-        workdir = tmp_path / "mp_retry"
-        workdir.mkdir()
-        procs, outs = launch(port, workdir)
+    # No retry wrapper: the round-3 shutdown-barrier race was fixed by
+    # sync_global_devices before worker exit (commit f9c3326); round 4
+    # proved the fix with 20/20 + 10/10 green loops under concurrent
+    # on-chip bench load — the condition that used to flake it
+    # (benchmarks/mp_deflake_r4.log).
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port),
+             str(workdir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
@@ -884,3 +869,74 @@ def test_multiprocess_distributed_training(tmp_path):
     # there would be 4
     versions = list((workdir / "run" / "csv_logs").glob("version_*"))
     assert len(versions) == 2
+
+
+def test_vmapped_grid_sweep_full_12_members():
+    """The FULL 3x2x2 grid as stacked vmapped programs (round-4 verdict
+    item 8): lr and modality-dropout are TRACED member axes, model-dropout
+    is the static program axis; 12 tagged results come back and the
+    mdrop=0 member of the grid reproduces the lr-only sweep member
+    (same member-index init keys, same shared batch keys)."""
+    from multimodal_emotion_detection_tpu.data.loader import MultimodalLoader
+    from multimodal_emotion_detection_tpu.data.synthetic import (
+        synthetic_arrays,
+    )
+    from multimodal_emotion_detection_tpu.models.classifier import (
+        MultimodalClassifier,
+    )
+    from multimodal_emotion_detection_tpu.parallel.vmap_sweep import (
+        vmapped_grid_sweep,
+        vmapped_lr_sweep,
+    )
+
+    def model_factory(model_dropout):
+        return MultimodalClassifier(
+            modalities=("a", "b"),
+            encoder_configs={
+                "a": {"type": "mlp", "input_dim": 8, "hidden_dim": 16,
+                      "num_layers": 1, "batch_norm": False, "dropout": 0.0},
+                "b": {"type": "mlp", "input_dim": 8, "hidden_dim": 16,
+                      "num_layers": 1, "batch_norm": False, "dropout": 0.0},
+            },
+            num_classes=4, output_dim=8, hidden_dim=16,
+            dropout=model_dropout, use_modality_mask=True,
+        )
+
+    arrays = synthetic_arrays(32, 4, {"a": 8, "b": 8}, 5, "train", seed=1)
+    arrays.features = {k: v[:, 0, :] for k, v in arrays.features.items()}
+    train = MultimodalLoader(arrays, batch_size=16, shuffle=True, seed=3)
+    val = MultimodalLoader(arrays, batch_size=16, shuffle=False, seed=3)
+
+    lrs = [5e-4, 1e-3, 2e-3]
+    results = vmapped_grid_sweep(
+        model_factory, train, val, lrs=lrs,
+        model_dropouts=[0.0, 0.1], modality_dropouts=[0.0, 0.5],
+        epochs=2, weight_decay=1e-4, seed=5,
+    )
+    assert len(results) == 12
+    assert all(np.isfinite(r["best_val_loss"]) for r in results)
+    combos = {(r["learning_rate"], r["model_dropout"],
+               r["modality_dropout"]) for r in results}
+    assert len(combos) == 12
+
+    # the (lr, drop=0, mDrop=0) member must reproduce the lr-only
+    # vmapped sweep's member 0 (identical init + shared keys); only
+    # member COUNT differs, which does not enter any member's math
+    solo = vmapped_lr_sweep(model_factory(0.0), train, val, [5e-4],
+                            epochs=2, weight_decay=1e-4, seed=5)
+    grid_member = next(
+        r for r in results
+        if r["learning_rate"] == 5e-4 and r["model_dropout"] == 0.0
+        and r["modality_dropout"] == 0.0
+    )
+    assert solo[0]["best_val_loss"] == pytest.approx(
+        grid_member["best_val_loss"], rel=1e-5
+    )
+    # the modality-dropout axis is LIVE here (mask-aware model): a 0.5
+    # drop probability must change the trajectory
+    noisy = next(
+        r for r in results
+        if r["learning_rate"] == 5e-4 and r["model_dropout"] == 0.0
+        and r["modality_dropout"] == 0.5
+    )
+    assert noisy["best_val_loss"] != grid_member["best_val_loss"]
