@@ -360,6 +360,18 @@ def vmapped_grid_sweep(
     ``model_factory(model_dropout) -> model`` builds the member model for
     one static dropout value.  Returns one summary dict per grid member
     with the reference's tag fields.
+
+    Measured verdict (benchmarks/r4e_tpu.json, real chip, 2-layer LSTM
+    h256 + frame video, b32 f32, 8 epochs/member): the stacked grid
+    LOSES the wall-clock A/B decisively — 588 s vs 52 s for the
+    equal-math sequential baseline (the member axis vmaps through the
+    whole epoch scan, and the Pallas training kernels are gated off
+    under vmap, so each stacked step pays scan-path cost x6 with no
+    dispatch saving at these per-step sizes).  Per-tag best_val_loss
+    agrees to 3.3e-3 rel (fp accumulation-order drift over 8 trained
+    epochs).  Use the sequential sweep (`tools/sweep.py` default) for
+    real runs; ``--vmap-grid`` remains an opt-in for tiny models where
+    dispatch overhead dominates.
     """
     from multimodal_emotion_detection_tpu.models.recurrent import (
         set_infer_kernel_enabled,
