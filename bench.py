@@ -318,6 +318,53 @@ def _install_watchdog(seconds: int) -> None:
     signal.alarm(seconds)
 
 
+def _leg_ceiling(cps, frontend: str, batch: int,
+                 compute_dtype: str = "float32", big: bool = False,
+                 encoder: str = "lstm", res_bytes: int | None = None,
+                 peak: float | None = None, hbm_bw: float | None = None):
+    """Two-sided (compute + bandwidth) roofline ceiling for one bench leg
+    (round-5 verdict items 1/3/8: every clips/s field carries its ceiling).
+
+    Compute side: attainable_mfu's MXU-occupancy model.  Bandwidth side:
+    the analytic HBM-traffic FLOOR (classifier_train_bytes_per_clip)
+    against the MEASURED triad bandwidth (benchmarks/r5_bw_probe.json,
+    662 GB/s on v5e).  Returns None if cps is None.
+    """
+    from multimodal_emotion_detection_tpu.utils.flops import (
+        attainable_mfu,
+        classifier_flops_per_clip,
+        classifier_train_bytes_per_clip,
+        two_sided_attainable,
+    )
+
+    if cps is None:
+        return None
+    cfg = _bench_config(frontend, batch, compute_dtype, big, encoder)
+    f = classifier_flops_per_clip(cfg)["train"]
+    att = attainable_mfu(cfg, batch, peak_flops=peak)
+    by = classifier_train_bytes_per_clip(cfg, batch, res_bytes=res_bytes)
+    ts = two_sided_attainable(f, att["attainable_mfu"],
+                              by["bytes_per_clip"], peak_flops=peak,
+                              hbm_bw=hbm_bw)
+    achieved_mfu = mfu_of(cps, f, peak)
+    return {
+        "attainable_mfu": round(ts["attainable_mfu"], 4),
+        "fraction": round(achieved_mfu / ts["attainable_mfu"], 4),
+        "bound": ts["bound"],
+        "bw_ceiling_clips_per_sec": round(
+            1.0 / ts["bw_time_per_clip"]) if "bw_time_per_clip" in ts
+        else None,
+        "bytes_per_clip_floor": round(by["bytes_per_clip"]),
+    }
+
+
+def mfu_of(cps: float, flops_per_clip: float,
+           peak: float | None = None) -> float:
+    from multimodal_emotion_detection_tpu.utils.flops import mfu
+
+    return mfu(cps, flops_per_clip, peak)["mfu"]
+
+
 def _serving_latency_ms(batch: int = 1, k: int = 50,
                         encoder: str = "lstm") -> float:
     """Steady-state serving latency: ms per forward, k one-dispatch
@@ -476,17 +523,24 @@ def main():
     # r3u/r3v measured batch ANTI-scaling; the attention scores/AV
     # matmuls run at head_dim/128 = 0.5 MXU occupancy independent of
     # batch, so the honest anchor is attainable_mfu_transformer below)
+    # round-5 item 2: the family shows ~20% run-to-run spread
+    # (benchmarks/r5b_transformer_spread.json pins the mode) — report the
+    # MEDIAN of 3 samples plus the spread, not a single draw
+    transformer_samples = []
     try:
         jax.config.update("jax_default_prng_impl", "rbg")
         try:
-            transformer_cps = run_one(
-                "logmel_cached", batch, n_rows, warmup=2, iters=2,
-                block_epochs=50, compute_dtype="bfloat16",
-                encoder="transformer")
+            for _ in range(3):
+                transformer_samples.append(run_one(
+                    "logmel_cached", batch, n_rows, warmup=2, iters=2,
+                    block_epochs=50, compute_dtype="bfloat16",
+                    encoder="transformer"))
         finally:
             jax.config.update("jax_default_prng_impl", "threefry2x32")
+        transformer_cps = sorted(transformer_samples)[1]
     except Exception:
-        transformer_cps = None
+        transformer_cps = (sorted(transformer_samples)[
+            len(transformer_samples) // 2] if transformer_samples else None)
     # large-batch bf16 point (the round-2 peak regime; the b32 fast path
     # overtook it in round 3 — kept for the regime comparison)
     try:
@@ -608,6 +662,31 @@ def main():
         _bench_config("logmel_cached", batch, "bfloat16",
                       encoder="transformer"), batch, peak_flops=peak)
 
+    # round-5: EVERY clips/s leg carries its two-sided (compute+bandwidth)
+    # ceiling — no more closing perf verdicts by narrative (verdict items
+    # 1/3/8).  res_bytes=2 where the leg ran bf16 residual streams.
+    from multimodal_emotion_detection_tpu.utils.flops import device_hbm_bw
+
+    hbm_bw = device_hbm_bw()
+    headline_res = 2 if "fast" in best_name else None
+    ceilings = {
+        "headline": _leg_ceiling(value, flops_name, batch,
+                                 res_bytes=headline_res, peak=peak),
+        "baseline_raw": _leg_ceiling(base_cps, "raw", batch, peak=peak),
+        "gru_fast": _leg_ceiling(gru_cps, "logmel_cached", batch,
+                                 encoder="gru", res_bytes=2, peak=peak),
+        "transformer": _leg_ceiling(transformer_cps, "logmel_cached", batch,
+                                    "bfloat16", encoder="transformer",
+                                    peak=peak),
+        "peak_b256_bf16": _leg_ceiling(peak_cps, "logmel_cached", 256,
+                                       "bfloat16", peak=peak),
+        "big_config": _leg_ceiling(big_cps, "logmel_cached", batch,
+                                   big=True, peak=peak),
+        "big_config_peak_b256_bf16": _leg_ceiling(
+            big_peak_cps, "logmel_cached", 256, "bfloat16", big=True,
+            peak=peak),
+    }
+
     result = {
         "metric": "ravdess_train_clips_per_sec_per_chip",
         "value": round(value, 2),
@@ -688,6 +767,19 @@ def main():
                   / att_transformer["attainable_mfu"], 4)
             if m_transformer is not None else None
         ),
+        "transformer_samples_clips_per_sec": (
+            # all 3 draws (median is transformer_clips_per_sec); spread
+            # adjudicated in benchmarks/r5b_transformer_spread.json
+            [round(s, 1) for s in transformer_samples]
+            if transformer_samples else None
+        ),
+        "transformer_spread_pct": (
+            round(100 * (max(transformer_samples) - min(transformer_samples))
+                  / sorted(transformer_samples)[1], 2)
+            if len(transformer_samples) == 3 else None
+        ),
+        "hbm_bw_gbs_measured": round(hbm_bw / 1e9, 1),
+        "ceilings": ceilings,
         "serving_b1_latency_ms": (
             # steady-state ms/forward, raw waveform in (serving2_tpu.json)
             round(serving_b1_ms, 4) if serving_b1_ms is not None else None

@@ -522,7 +522,16 @@ def lstm_bwd_chain_pallas(
 
     t_len, batch, gates4 = g_series.shape
     if chunk is None:
-        chunk = _pick_bwd_chunk(batch, gates4 // 4) or BWD_CHUNK
+        chunk = _pick_bwd_chunk(batch, gates4 // 4)
+        if chunk == 0:
+            # the picker proved no chunk fits the 12MB VMEM budget for
+            # this (batch, H); dispatching anyway would build an
+            # over-budget kernel.  Callers route through
+            # bwd_kernel_supported; a direct call gets a clear error.
+            raise ValueError(
+                f"lstm_bwd_chain_pallas: no bwd chunk fits VMEM for "
+                f"batch={batch}, hidden={gates4 // 4} — use the XLA scan "
+                f"fallback (ops/lstm_vjp.py) for this geometry")
     h_dim = gates4 // 4
     t_pad = ((t_len + chunk - 1) // chunk) * chunk
     pad = t_pad - t_len

@@ -238,7 +238,10 @@ def main(argv=None):
             rest.append(a)
     cfg = load_config(config_path, rest)
     if vmap_grid:
-        return run_vmapped_grid_sweep(cfg, out_root=out_root)
+        # --vmap-lrs composes: it overrides the grid's lr axis instead of
+        # being silently ignored (round-4 advisor finding)
+        kw = {"learning_rates": vmap_lrs} if vmap_lrs else {}
+        return run_vmapped_grid_sweep(cfg, out_root=out_root, **kw)
     if vmap_lrs:
         return run_vmapped_lr_sweep(cfg, vmap_lrs, out_root=out_root)
     return run_sweep(cfg, out_root=out_root, overrides=rest)

@@ -36,6 +36,9 @@ def _get_mc_forward(model, num_modalities: int):
     cache_key = (id(model), num_modalities)
     hit = _FORWARD_CACHE.get(cache_key)
     if hit is not None and hit[0]() is model:
+        # refresh recency so eviction is LRU, not FIFO: a hot model
+        # interleaved with 16+ transient ones must not be evicted
+        _FORWARD_CACHE[cache_key] = _FORWARD_CACHE.pop(cache_key)
         return hit[1]
 
     @jax.jit

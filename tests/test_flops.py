@@ -196,3 +196,112 @@ def test_attainable_mfu_ceiling():
     # batch-independent: the attention occupancy does not improve with b
     assert (attainable_mfu(cfg, 256, peak_flops=peak)["attainable_mfu"]
             == pytest.approx(at["attainable_mfu"]))
+
+
+def test_classifier_param_count_exact_vs_init():
+    """classifier_param_count must match the REAL model's trainable leaf
+    sum exactly, for every bench geometry — it feeds the params term of
+    the bandwidth roofline (classifier_train_bytes_per_clip)."""
+    import bench
+    from multimodal_emotion_detection_tpu.models.classifier import (
+        classifier_from_config,
+    )
+    from multimodal_emotion_detection_tpu.utils.flops import (
+        classifier_param_count,
+    )
+
+    geometries = [
+        ("flagship", dict(frontend="logmel_cached", batch=32)),
+        ("gru", dict(frontend="logmel_cached", batch=32, encoder="gru")),
+        ("transformer", dict(frontend="logmel_cached", batch=32,
+                             compute_dtype="bfloat16",
+                             encoder="transformer")),
+        ("big", dict(frontend="logmel_cached", batch=32, big=True)),
+        ("raw", dict(frontend="raw", batch=32)),
+    ]
+    for name, kw in geometries:
+        cfg = bench._bench_config(**kw)
+        model = classifier_from_config(cfg)
+        fe = cfg.model.frontend
+        if kw["frontend"].startswith("logmel"):
+            T = 1 + (48000 - fe.n_fft) // fe.hop_length
+            d = fe.n_mels
+        else:
+            T, d = 48000, 1
+        feats = {
+            "audio": jnp.zeros((2, T, d), jnp.float32),
+            "video": jnp.zeros((2, 24, 4096), jnp.float32),
+        }
+        variables = model.init(jax.random.PRNGKey(0), feats,
+                               jnp.ones((2, 2)))
+        real = sum(x.size for x in
+                   jax.tree_util.tree_leaves(variables["params"]))
+        analytic = classifier_param_count(cfg)
+        assert analytic == real, (
+            f"{name}: analytic {analytic} != real {real} "
+            f"(diff {analytic - real})")
+
+
+def test_train_bytes_per_clip_model():
+    """Bandwidth-roofline numerator: floor traffic per clip must (a) have
+    params amortize as 1/batch, (b) keep residual traffic
+    batch-independent, (c) drop the materialized attention probs once
+    flash engages, (d) halve RNN residual traffic in bf16 streams."""
+    import bench
+    from multimodal_emotion_detection_tpu.utils.flops import (
+        classifier_train_bytes_per_clip,
+        two_sided_attainable,
+    )
+
+    cfg = bench._bench_config("logmel_cached", 32)
+    b32 = classifier_train_bytes_per_clip(cfg, 32)
+    b256 = classifier_train_bytes_per_clip(cfg, 256)
+    assert b32["params_bytes"] == pytest.approx(8 * b256["params_bytes"])
+    assert b32["residuals_bytes"] == b256["residuals_bytes"]
+    assert b32["features_bytes"] == b256["features_bytes"]
+    # bf16 residual streams halve the RNN series traffic (the frame
+    # encoder's activations stay at the compute dtype)
+    b32_bf = classifier_train_bytes_per_clip(cfg, 32, res_bytes=2)
+    fe = cfg.model.frontend
+    T = 1 + (48000 - fe.n_fft) // fe.hop_length
+    lstm_series_f32 = 2 * 2 * T * (4 * 256 + 256 + 256) * 4
+    assert (b32["residuals_bytes"] - b32_bf["residuals_bytes"]
+            == pytest.approx(lstm_series_f32 / 2))
+
+    # transformer: XLA MHA at b32 materializes (heads,T,T) probs; flash
+    # (engaged at b256 per flash_auto_routes_to_kernel) recomputes them
+    tcfg = bench._bench_config("logmel_cached", 32, "bfloat16",
+                               encoder="transformer")
+    t32 = classifier_train_bytes_per_clip(tcfg, 32)
+    t256 = classifier_train_bytes_per_clip(tcfg, 256)
+    tfe = tcfg.model.frontend
+    Tt = 1 + (48000 - tfe.n_fft) // tfe.hop_length
+    probs = 2 * 2 * 4 * Tt * Tt * 2  # 2x(layers=2)(heads=4)T^2 bf16
+    assert (t32["residuals_bytes"] - t256["residuals_bytes"]
+            == pytest.approx(probs))
+
+    # two-sided ceiling: bandwidth side engages and can flip the bound
+    ts = two_sided_attainable(1e9, 0.5, bytes_per_clip=1e9,
+                              peak_flops=200e12, hbm_bw=600e9)
+    assert ts["bound"] == "bandwidth"
+    assert ts["attainable_clips_per_sec"] == pytest.approx(600.0)
+    ts2 = two_sided_attainable(1e9, 0.5, bytes_per_clip=1e3,
+                               peak_flops=200e12, hbm_bw=600e9)
+    assert ts2["bound"] == "compute"
+    assert ts2["attainable_mfu"] == pytest.approx(0.5)
+
+
+def test_bench_leg_ceiling_contract():
+    """bench._leg_ceiling emits the fields BENCH_r05 consumers rely on,
+    with fraction = achieved_mfu / two-sided attainable."""
+    import bench
+
+    peak = 197e12
+    c = bench._leg_ceiling(38078.0, "logmel_cached", 32, res_bytes=2,
+                           peak=peak, hbm_bw=662.2e9)
+    assert set(c) == {"attainable_mfu", "fraction", "bound",
+                      "bw_ceiling_clips_per_sec", "bytes_per_clip_floor"}
+    assert c["bound"] in ("compute", "bandwidth")
+    assert 0 < c["fraction"] <= 1.2  # achieved can't far exceed a ceiling
+    assert c["bw_ceiling_clips_per_sec"] > 38078  # floor bytes: bw roof high
+    assert bench._leg_ceiling(None, "logmel_cached", 32) is None
