@@ -96,13 +96,24 @@ def main():
     out["full_ms"] = timed_ms(
         lambda: fwd_many(params, {}, feats_many))
 
-    # --- frontend only (Pallas logmel, same in-graph route) ---
+    # --- full model again at K=200: isolates the per-dispatch RTT share
+    # (the scan floor below shows ~0.5 ms/microbatch of the K=50 figure is
+    # dispatch/transfer on the tunneled chip, not device compute) ---
+    feats_many200 = {m: jnp.broadcast_to(a[None], (200,) + a.shape)
+                     for m, a in feats.items()}
+    out["full_k200_ms"] = timed_ms(
+        lambda: fwd_many(params, {}, feats_many200)) * K / 200
+
+    # --- frontend only (Pallas logmel, same in-graph route).  Reduce the
+    # (K, 1, 375, 80) mels to one scalar per microbatch BEFORE the fetch:
+    # fetching 6 MB over the tunneled link costs ~2 ms/microbatch and
+    # swamped the first version of this probe ---
     lp = logmel_params_from_config(cfg.model.frontend)
 
     @jax.jit
     def frontend_many(wav_many):
         def body(c, w):
-            return c, log_mel_spectrogram(w, lp, use_pallas=True)
+            return c, log_mel_spectrogram(w, lp, use_pallas=True).sum()
         _, y = jax.lax.scan(body, 0, wav_many)
         return y
 
@@ -113,7 +124,7 @@ def main():
     @jax.jit
     def frontend_many_xla(wav_many):
         def body(c, w):
-            return c, log_mel_spectrogram(w, lp, use_pallas=False)
+            return c, log_mel_spectrogram(w, lp, use_pallas=False).sum()
         _, y = jax.lax.scan(body, 0, wav_many)
         return y
 
@@ -155,7 +166,7 @@ def main():
     out["audio_encoder_ms"] = timed_ms(lambda: audio_many(ep, mel_many))
 
     # --- video encoder alone ---
-    venc = FrameEncoder(input_dim=4096, hidden_dim=256,
+    venc = FrameEncoder(frame_dim=4096, hidden_dim=256,
                         output_dim=cfg.model.output_dim,
                         temporal_pooling="attention", dropout=0.0)
     vp = venc.init(jax.random.PRNGKey(0), feats["video"])
@@ -180,10 +191,20 @@ def main():
 
     out["scan_floor_ms"] = timed_ms(lambda: empty_many(v_many))
 
-    tot = out["frontend_ms"] + out["sans_frontend_ms"]
-    out["frontend_plus_sans_ms"] = round(tot, 4)
-    out["frontend_share_of_full"] = round(
-        out["frontend_ms"] / out["full_ms"], 3)
+    # Net-of-floor device shares: every phase above rides the same
+    # scan-over-K dispatch, so the empty-scan floor (dispatch + tunnel
+    # RTT, NOT device compute) subtracts out of each.
+    floor = out["scan_floor_ms"]
+    for k in ("full", "full_k200", "frontend", "frontend_xla",
+              "sans_frontend", "audio_encoder", "video_encoder"):
+        out[f"{k}_net_ms"] = round(max(out[f"{k}_ms"] - floor, 0.0), 4)
+    net_full = max(out["full_net_ms"], 1e-9)
+    out["frontend_share_of_full_net"] = round(
+        out["frontend_net_ms"] / net_full, 3)
+    out["audio_share_of_full_net"] = round(
+        out["audio_encoder_net_ms"] / net_full, 3)
+    out["video_share_of_full_net"] = round(
+        out["video_encoder_net_ms"] / net_full, 3)
     for k in list(out):
         if isinstance(out[k], float):
             out[k] = round(out[k], 4)
