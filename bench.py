@@ -421,6 +421,36 @@ def _serving_latency_ms(batch: int = 1, k: int = 50,
     return best * 1e3 / k
 
 
+def _serving_scan_floor_ms(k: int = 50) -> float:
+    """The scan-over-k harness's own dispatch/RTT floor: an empty-body
+    scan of the same k, timed identically.  r5c measured 0.57 ms/clip of
+    the 0.79 ms b1 figure is this floor, not device compute
+    (benchmarks/r5c_serving_decomp.json)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    x_many = jnp.zeros((k, 1, 24, 128), jnp.float32)
+
+    @jax.jit
+    def empty_many(x_many):
+        def body(c, x):
+            return c, x[:1, :1, 0] * 2.0
+        _, y = jax.lax.scan(body, 0, x_many)
+        return y
+
+    for _ in range(3):
+        np.asarray(empty_many(x_many))
+    best = float("inf")
+    for _ in range(10):
+        t0 = time.perf_counter()
+        np.asarray(empty_many(x_many))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3 / k
+
+
 def main():
     from multimodal_emotion_detection_tpu.utils.runtime import setup_jax
 
@@ -588,6 +618,12 @@ def main():
                                                 encoder="gru")
     except Exception:
         serving_b1_gru_ms = None
+    # the harness's own dispatch/RTT floor (r5c decomposition): the net
+    # figure below is the device-true b1 latency
+    try:
+        serving_floor_ms = _serving_scan_floor_ms(k=50)
+    except Exception:
+        serving_floor_ms = None
     fast_pallas = _pallas_subprocess(batch)
 
     candidates = {"logmel_xla": fast_xla}
@@ -788,6 +824,19 @@ def main():
             # GRU config through gru2_infer_pallas (r4d A/B)
             round(serving_b1_gru_ms, 4)
             if serving_b1_gru_ms is not None else None
+        ),
+        "serving_scan_floor_ms": (
+            # empty-body scan of the same k: the harness's dispatch/RTT
+            # floor on the tunneled chip (r5c_serving_decomp.json)
+            round(serving_floor_ms, 4)
+            if serving_floor_ms is not None else None
+        ),
+        "serving_b1_device_ms": (
+            # net-of-floor device latency; r5c proved it is the serial
+            # LSTM recurrence (frontend ~0 via the Pallas log-mel kernel)
+            round(max(serving_b1_ms - serving_floor_ms, 0.0), 4)
+            if serving_b1_ms is not None and serving_floor_ms is not None
+            else None
         ),
         "peak_tflops_bf16": round(peak / 1e12, 1),
         "platform": platform,

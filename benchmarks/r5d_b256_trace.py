@@ -119,10 +119,10 @@ def main():
         flush("bytes_accessed_error", repr(exc))
     if ba is not None:
         bw = 662e9  # measured triad (benchmarks/r5_bw_probe.json)
-        per_clip = ba / (S * batch)
-        flush("xla_bytes_accessed_per_clip", round(per_clip))
-        flush("bw_time_ms_per_step_actual_bytes",
-              round(per_clip * batch / bw * 1e3, 4))
+        # scan bodies count ONCE in cost analysis (r5_bytes_probe.json):
+        # ba ~= one step's traffic, and an UPPER bound at that
+        flush("xla_bytes_accessed_per_step_upper", round(ba))
+        flush("bw_ms_per_step_upper", round(ba / bw * 1e3, 4))
 
     flush("kernel_route_note",
           "recurrent.py gates the Pallas training kernels; see rows above"

@@ -73,10 +73,15 @@ def bytes_and_time(ep, st, feats, labels, batch, n_rows, steps_per_epoch=8):
     step_ms = batch / cps * 1e3
     out = {"cps": round(cps, 1), "step_ms": round(step_ms, 4)}
     if ba is not None:
-        per_step = ba / S
-        out["bytes_per_step"] = round(per_step)
-        out["bw_ms_per_step_actual"] = round(per_step / BW * 1e3, 4)
-        out["bw_bound_share"] = round(
+        # cost-analysis convention (r5_bytes_probe.json): a scan body is
+        # counted ONCE regardless of trip count, so ba ~= the traffic of
+        # ONE step (+ one-time operands).  It is an UPPER bound — it
+        # books every fusion operand at HBM price even when XLA keeps it
+        # in VMEM (the flagship's ba would imply 1.26 TB/s).
+        per_step = ba
+        out["bytes_per_step_upper"] = round(per_step)
+        out["bw_ms_per_step_upper"] = round(per_step / BW * 1e3, 4)
+        out["bw_upper_over_step"] = round(
             (per_step / BW * 1e3) / step_ms, 3)
     return out
 
