@@ -582,6 +582,16 @@ def main():
             jax.config.update("jax_default_prng_impl", "threefry2x32")
     except Exception:
         peak_cps = None
+    # b256 at f32: rides the per-layer/tiled f32 kernels (cap 256,
+    # r2u) — r5d's same-process A/B measured it FASTER than the bf16
+    # scan route at b256 (23.4k vs 20.4k clips/s): the bf16 "peak" leg's
+    # half-MFU is a route artifact (serial scan overhead), not batch
+    # anti-scaling (benchmarks/r5d_b256_trace.json)
+    try:
+        peak_f32_cps = run_one("logmel_cached", 256, 256, warmup=2, iters=8,
+                               epoch_scan=True)
+    except Exception:
+        peak_f32_cps = None
     # like-for-like big config (reference sweep geometry: out 256 /
     # hidden 512 / LSTM x3 — the model behind every BASELINE.md number).
     # Round 4: routes through the per-layer forward kernels + layered
@@ -592,6 +602,22 @@ def main():
                           epoch_scan=True, big=True)
     except Exception:
         big_cps = None
+    # big config + fast knobs (rbg PRNG, bf16 residual streams on the
+    # per-layer kernels — g/c_prev only, forward exact; r5f A/B): the
+    # DMA-bound kernels move 42% fewer store / 45% fewer read bytes
+    try:
+        import multimodal_emotion_detection_tpu.ops.lstm_vjp as _lv
+
+        jax.config.update("jax_default_prng_impl", "rbg")
+        _lv.set_res2_dtype("bfloat16")
+        try:
+            big_fast_cps = run_one("logmel_cached", batch, n_rows, warmup=2,
+                                   iters=10, epoch_scan=True, big=True)
+        finally:
+            _lv.set_res2_dtype("float32")
+            jax.config.update("jax_default_prng_impl", "threefry2x32")
+    except Exception:
+        big_fast_cps = None
     # big config at its throughput regime: b256 bf16 (the per-layer
     # kernel route is f32-gated at large batch, so this leg rides the XLA
     # scans + the r4a in-place reverse-walk storage; bf16 doubles the
@@ -716,8 +742,13 @@ def main():
                                     peak=peak),
         "peak_b256_bf16": _leg_ceiling(peak_cps, "logmel_cached", 256,
                                        "bfloat16", peak=peak),
+        "peak_b256_f32": _leg_ceiling(peak_f32_cps, "logmel_cached", 256,
+                                      peak=peak),
         "big_config": _leg_ceiling(big_cps, "logmel_cached", batch,
                                    big=True, peak=peak),
+        "big_config_fast": _leg_ceiling(big_fast_cps, "logmel_cached",
+                                        batch, big=True, res_bytes=2,
+                                        peak=peak),
         "big_config_peak_b256_bf16": _leg_ceiling(
             big_peak_cps, "logmel_cached", 256, "bfloat16", big=True,
             peak=peak),
@@ -760,8 +791,16 @@ def main():
         "peak_clips_per_sec_b256_bf16": (
             round(peak_cps, 2) if peak_cps is not None else None
         ),
+        "peak_clips_per_sec_b256_f32": (
+            # the b256 winner: f32 kernel route (r5d adjudication)
+            round(peak_f32_cps, 2) if peak_f32_cps is not None else None
+        ),
         "big_config_clips_per_sec": (
             round(big_cps, 2) if big_cps is not None else None
+        ),
+        "big_config_fast_clips_per_sec": (
+            # rbg + bf16 residual streams on the per-layer kernels (r5f)
+            round(big_fast_cps, 2) if big_fast_cps is not None else None
         ),
         "big_config_peak_clips_per_sec_b256_bf16": (
             round(big_peak_cps, 2) if big_peak_cps is not None else None
@@ -775,8 +814,21 @@ def main():
         "mfu_peak_b256_bf16": (
             round(m_peak["mfu"], 4) if m_peak is not None else None
         ),
+        "mfu_peak_b256_f32": (
+            round(mfu_of(peak_f32_cps,
+                         _train_flops_per_clip("logmel_cached", 256),
+                         peak), 4)
+            if peak_f32_cps is not None else None
+        ),
         "mfu_big_config": (
             round(m_big["mfu"], 4) if m_big is not None else None
+        ),
+        "mfu_big_config_fast": (
+            round(mfu_of(big_fast_cps,
+                         _train_flops_per_clip("logmel_cached", batch,
+                                               big=True),
+                         peak), 4)
+            if big_fast_cps is not None else None
         ),
         "mfu_big_config_peak": (
             round(m_big_peak["mfu"], 4) if m_big_peak is not None else None

@@ -381,8 +381,8 @@ def _cell_bwd(g, c_prev, dh_t, dc_t, h_dim):
 
 
 def _lstm_bwd_kernel(
-    g_hbm,  # (T_pad, B, 4H) ANY — gate pre-activations (fwd residual)
-    c_hbm,  # (T_pad, B, H) ANY — c_prev series
+    g_hbm,  # (T_pad, B, 4H) ANY — gate pre-activations (res_dtype)
+    c_hbm,  # (T_pad, B, H) ANY — c_prev series (res_dtype)
     dh_hbm,  # (T_pad, B, H) ANY — per-step incoming dh contributions
     dhf_ref,  # (B, H) VMEM — gradient wrt the final hidden state
     w_hh_t_ref,  # (4H, H) VMEM — transposed recurrence weights
@@ -391,6 +391,7 @@ def _lstm_bwd_kernel(
     t_len: int,
     chunk: int,
     tile_b: int,
+    res_dtype=jnp.float32,
 ):
     """Reverse-time dgates chain, entire loop inside one Pallas program.
 
@@ -470,8 +471,11 @@ def _lstm_bwd_kernel(
                 dh_carry = state_buf[0]
                 dc_carry = state_buf[1]
                 dh_t = dh_carry + dh_buf[slot, s]
+                # g/c may stream in bf16 (res_dtype); compute in f32
                 dgates, dc_prev = _cell_bwd(
-                    g_buf[slot, s], c_buf[slot, s], dh_t, dc_carry, h_dim
+                    g_buf[slot, s].astype(jnp.float32),
+                    c_buf[slot, s].astype(jnp.float32),
+                    dh_t, dc_carry, h_dim
                 )
                 dh_prev = jnp.dot(
                     dgates, w_hh_t, preferred_element_type=jnp.float32
@@ -497,8 +501,8 @@ def _lstm_bwd_kernel(
     gates4 = w_hh_t_ref.shape[0]
     pl.run_scoped(
         body,
-        g_buf=pltpu.VMEM((2, chunk, batch, gates4), jnp.float32),
-        c_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        g_buf=pltpu.VMEM((2, chunk, batch, gates4), res_dtype),
+        c_buf=pltpu.VMEM((2, chunk, batch, h_dim), res_dtype),
         dh_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
         out_buf=pltpu.VMEM((2, chunk, batch, gates4), jnp.float32),
         in_sem=pltpu.SemaphoreType.DMA((2, 3)),
@@ -541,8 +545,14 @@ def lstm_bwd_chain_pallas(
         dh_series = jnp.pad(dh_series, ((0, pad), (0, 0), (0, 0)))
 
     tile_b = _pick_tile_b(batch)
+    # g/c_prev stream in their STORED dtype (bf16 residual streams halve
+    # the read traffic; upcast happens in-register per step) — casting
+    # here would materialize a full f32 copy in HBM and cost MORE than
+    # the f32 path.  Other compute dtypes still normalize to f32.
+    res_dtype = (g_series.dtype if g_series.dtype == jnp.bfloat16
+                 else jnp.float32)
     kernel = functools.partial(_lstm_bwd_kernel, t_len=t_len, chunk=chunk,
-                               tile_b=tile_b)
+                               tile_b=tile_b, res_dtype=res_dtype)
     out = pl.pallas_call(
         kernel,
         grid=(batch // tile_b,),
@@ -557,8 +567,8 @@ def lstm_bwd_chain_pallas(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         interpret=interpret,
     )(
-        g_series.astype(jnp.float32),
-        c_prev_series.astype(jnp.float32),
+        g_series.astype(res_dtype),
+        c_prev_series.astype(res_dtype),
         dh_series.astype(jnp.float32),
         dh_final.astype(jnp.float32),
         w_hh.astype(jnp.float32).T,
@@ -940,15 +950,16 @@ def fwd1_kernel_supported(batch: int, t_len: int, h_dim: int,
 def _lstm1_fwd_train_kernel(
     ih_hbm,    # (T_pad, B, 4H) ANY — hoisted input projections (x@W_ih+b)
     w_hh_ref,  # (H, 4H) VMEM
-    g_hbm,     # (T_pad, B, 4H) ANY out — gate pre-activations
+    g_hbm,     # (T_pad, B, 4H) ANY out — gate pre-activations (res_dtype)
     hp_hbm,    # (T_pad, B, H) ANY out — h_prev series (state BEFORE step t)
-    cp_hbm,    # (T_pad, B, H) ANY out — c_prev series
+    cp_hbm,    # (T_pad, B, H) ANY out — c_prev series (res_dtype)
     hf_ref,    # (B, 2H) VMEM out — [h_final | c_final]
     *,
     t_len: int,
     chunk: int,
     tile_b: int,
     full_unroll: bool,
+    res_dtype=jnp.float32,
 ):
     """Single-layer forward recurrence, residuals streamed to HBM.
 
@@ -956,6 +967,13 @@ def _lstm1_fwd_train_kernel(
     pre-activation series (reverse chain), h_prev (dW_hh contraction) and
     c_prev (cell backward) — no post-kernel shifts.  The caller rebuilds
     h_new as h_prev shifted by one plus the final (a lane-free view).
+
+    ``res_dtype`` applies to the backward-only streams g and c_prev
+    (bf16 halves the dominant store traffic — the kernel is DMA-bound at
+    h512: ~0.99 us/step of stream vs ~0.68 us of MXU); h_prev stays f32
+    because the caller rebuilds the next layer's INPUT from it, keeping
+    the forward numerics exact (same contract as the fused route's
+    final_only bf16 gate, r3g).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1018,9 +1036,9 @@ def _lstm1_fwd_train_kernel(
                     h, w_hh, preferred_element_type=jnp.float32
                 )
                 h_new, c_new = _cell(h, c, gates)
-                g_buf[slot, s] = gates
+                g_buf[slot, s] = gates.astype(res_dtype)
                 hp_buf[slot, s] = h
-                cp_buf[slot, s] = c
+                cp_buf[slot, s] = c.astype(res_dtype)
                 valid = t < t_len  # padded steps pass state through
                 state_buf[0] = jnp.where(valid, h_new, h)
                 state_buf[1] = jnp.where(valid, c_new, c)
@@ -1048,9 +1066,9 @@ def _lstm1_fwd_train_kernel(
     pl.run_scoped(
         body,
         ih_buf=pltpu.VMEM((2, chunk, batch, gates4), jnp.float32),
-        g_buf=pltpu.VMEM((2, chunk, batch, gates4), jnp.float32),
+        g_buf=pltpu.VMEM((2, chunk, batch, gates4), res_dtype),
         hp_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
-        cp_buf=pltpu.VMEM((2, chunk, batch, h_dim), jnp.float32),
+        cp_buf=pltpu.VMEM((2, chunk, batch, h_dim), res_dtype),
         in_sem=pltpu.SemaphoreType.DMA((2,)),
         out_sem=pltpu.SemaphoreType.DMA((2, 3)),
         state_buf=pltpu.VMEM((2, batch, h_dim), jnp.float32),
@@ -1063,11 +1081,14 @@ def lstm1_train_fwd_pallas(
     chunk: int = None,
     interpret: bool = False,
     full_unroll: bool = None,
+    res_dtype=jnp.float32,
 ):
     """One LSTM layer's forward over all T, residual series streamed out.
 
     Returns ``(g_series, h_prev_series, c_prev_series, finals)`` with
     finals ``(B, 2H) = [h_final | c_final]``; series are (T, B, ·).
+    ``res_dtype`` (float32|bfloat16) applies to g and c_prev — the
+    backward-only streams; h_prev and finals stay f32 (forward-exact).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1083,14 +1104,15 @@ def lstm1_train_fwd_pallas(
     tile_b = _pick_tile_b(batch)
     kernel = functools.partial(_lstm1_fwd_train_kernel, t_len=t_len,
                                chunk=chunk, tile_b=tile_b,
-                               full_unroll=full_unroll)
+                               full_unroll=full_unroll,
+                               res_dtype=res_dtype)
     g_s, hp_s, cp_s, finals = pl.pallas_call(
         kernel,
         grid=(batch // tile_b,),
         out_shape=(
-            jax.ShapeDtypeStruct((t_pad, batch, gates4), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, batch, gates4), res_dtype),
             jax.ShapeDtypeStruct((t_pad, batch, h_dim), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, batch, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, batch, h_dim), res_dtype),
             jax.ShapeDtypeStruct((batch, 2 * h_dim), jnp.float32),
         ),
         in_specs=[

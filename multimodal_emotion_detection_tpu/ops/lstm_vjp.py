@@ -372,10 +372,15 @@ def _fwd_pallas_layered(x_tm, keep_tm, params, interpret):
     res = []
     carry = []
     ys = None
+    # bf16 residual streams (runtime.lstm_residual_dtype): g and c_prev
+    # are backward-only, so rounding them is the r3g envelope; h_prev
+    # stays f32 in-kernel — the next layer's input and ys are exact.
+    res_dtype = (jnp.bfloat16 if _RES2_DTYPE == "bfloat16"
+                 else jnp.float32)
     for layer, p in enumerate(params):
         ih = x_l @ p["w_ih"].astype(jnp.float32) + p["b"].astype(jnp.float32)
         g_s, hp_s, cp_s, finals = lstm1_train_fwd_pallas(
-            ih, p["w_hh"], interpret=interpret)
+            ih, p["w_hh"], interpret=interpret, res_dtype=res_dtype)
         h_dim = p["w_hh"].shape[0]
         h_final, c_final = finals[:, :h_dim], finals[:, h_dim:]
         res.append((g_s, hp_s, cp_s,
@@ -503,8 +508,9 @@ def _bwd_dgates(res, keep_tm, params, dys, dh_final):
             bwd2_kernel_supported,
         )
 
-        # residuals off the kernel/scan forward carry the compute dtype
-        f32_large = g0_s.dtype == jnp.float32
+        # the h_prev series always carries the COMPUTE dtype (g/c_prev
+        # may be bf16 residual streams under runtime.lstm_residual_dtype)
+        f32_large = res[0][1].dtype == jnp.float32
         if (on_tpu or interpret) and len(params) == 2 and (
             bwd2_kernel_supported(batch, t_len, h_dim,
                                   allow_large=interpret,
@@ -520,7 +526,7 @@ def _bwd_dgates(res, keep_tm, params, dys, dh_final):
             bwd_kernel_supported,
         )
 
-        f32_large = g0_s.dtype == jnp.float32
+        f32_large = res[0][1].dtype == jnp.float32
         if (on_tpu or interpret) and bwd_kernel_supported(
             batch, t_len, h_dim, allow_large=interpret,
             f32_large=f32_large,

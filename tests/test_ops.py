@@ -1343,3 +1343,59 @@ def test_gru_residual_bf16_streams_gradient_envelope():
     for a, b_ in zip(jax.tree_util.tree_leaves(gs32),
                      jax.tree_util.tree_leaves(gs16)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_lstm_layered_residual_bf16_streams_gradient_envelope():
+    """lstm_residual_dtype=bfloat16 on the per-layer (any-depth) route:
+    g/c_prev stream bf16 — backward-only consumers — while h_prev stays
+    f32, so BOTH the sequence output and the final hidden are exact;
+    gradients stay within the bf16 envelope (the r3g contract)."""
+    import multimodal_emotion_detection_tpu.ops.lstm_vjp as lv
+
+    b, t, d, h, n_layers = 8, 21, 12, 128, 3
+    ks = jax.random.split(jax.random.PRNGKey(13), 2 + 3 * n_layers)
+    x = jax.random.normal(ks[0], (b, t, d))
+    keep = (jax.random.uniform(
+        ks[1], (b, t, n_layers - 1, h)) > 0.3).astype(jnp.float32)
+    params = tuple(
+        {
+            "w_ih": 0.3 * jax.random.normal(
+                ks[2 + 3 * i], (d if i == 0 else h, 4 * h)),
+            "w_hh": 0.3 * jax.random.normal(ks[3 + 3 * i], (h, 4 * h)),
+            "b": 0.05 * jax.random.normal(ks[4 + 3 * i], (4 * h,)),
+        }
+        for i in range(n_layers)
+    )
+
+    def run(dtype):
+        def loss(x, keep, params):
+            ys, h_final = lv.fused_lstm(x, keep, params)
+            return jnp.sum(ys * jnp.cos(ys)) + 2.0 * jnp.sum(h_final**2)
+
+        prev_d = lv.set_res2_dtype(dtype)
+        try:
+            return jax.jit(jax.value_and_grad(loss, argnums=(0, 2)))(
+                x, keep, params)
+        finally:
+            lv.set_res2_dtype(prev_d)
+
+    prev_f = lv.set_fwd_kernel_mode("interpret")
+    prev_b = lv.set_bwd_kernel_mode("interpret")
+    try:
+        v32, g32 = run("float32")
+        v16, g16 = run("bfloat16")
+    finally:
+        lv.set_fwd_kernel_mode(prev_f)
+        lv.set_bwd_kernel_mode(prev_b)
+
+    # forward EXACT: ys and h_final rebuild from the f32 h_prev series
+    np.testing.assert_array_equal(float(v16), float(v32))
+    rels = []
+    for a, b_ in zip(jax.tree_util.tree_leaves(g32),
+                     jax.tree_util.tree_leaves(g16)):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        denom = max(1e-6, float(np.max(np.abs(a))))
+        rel = float(np.max(np.abs(a - b_))) / denom
+        assert rel < 2e-2, f"bf16 layered residual envelope exceeded: {rel}"
+        rels.append(rel)
+    assert max(rels) > 0.0, "bf16 layered residual path did not engage"
